@@ -1,0 +1,21 @@
+"""Load-time graph optimizer.
+
+Reference: src/optimize.rs:295 GraphOptimizer::optimize — pass pipeline:
+captured-value→constant conversion, constant propagation, and fusions
+(Transpose absorption, SiLU, GELU, LayerNorm). Under XLA most elementwise
+fusion is free, so the passes that still pay here are (1) constant
+propagation — it shrinks the traced program and keeps shape-math concrete —
+and (2) pattern rewrites that change *numerics or kernel choice*: LayerNorm
+recognition and quantized-subgraph → fused Pallas dequant-matmul.
+"""
+
+from __future__ import annotations
+
+from rten_tpu.graph import Graph
+from rten_tpu.optimize.passes import fuse_patterns, propagate_constants
+
+
+def optimize_graph(graph: Graph) -> Graph:
+    graph = propagate_constants(graph)
+    graph = fuse_patterns(graph)
+    return graph

@@ -1,0 +1,230 @@
+"""Optimizer passes (reference: src/optimize.rs).
+
+``propagate_constants`` mirrors the reference's pass (src/optimize.rs:356):
+any deterministic operator whose inputs are all constants is executed eagerly
+at load time and its outputs become ConstantNodes.
+
+``fuse_patterns`` recognizes primitive-op subgraphs and rewrites them to
+single ops (reference: fuse_silu :435, fuse_gelu :456, fuse_layer_norm :482).
+On TPU the win is numerics control (one fused jax.nn call instead of a chain)
+and enabling kernel-level dispatch (e.g. recognized LayerNorm can later ride
+a Pallas fused kernel).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rten_tpu.graph import ConstantNode, Graph, OperatorNode, ValueNode
+from rten_tpu.ops.registry import OpContext, get_op, is_deterministic
+
+
+def propagate_constants(graph: Graph) -> Graph:
+    const_ids = {
+        i for i, n in enumerate(graph.nodes) if isinstance(n, ConstantNode)
+    }
+    # Never fold graph inputs/captures (they are runtime values by definition).
+    runtime = set(graph.inputs) | set(graph.captures)
+    ctx = OpContext("eager")
+
+    folded: set[int] = set()
+    changed = True
+    while changed:
+        changed = False
+        for op_id, op in list(graph.operator_nodes()):
+            if op_id in folded:
+                continue
+            if not is_deterministic(op.op_type):
+                continue
+            deps = [i for i in op.inputs if i is not None]
+            if not deps or not all(d in const_ids and d not in runtime for d in deps):
+                continue
+            if any(isinstance(v, Graph) for v in op.attrs.values()):
+                continue  # don't fold control flow
+            try:
+                args = [
+                    None if i is None else graph.nodes[i].value for i in op.inputs
+                ]
+                while args and args[-1] is None:
+                    args.pop()
+                attrs = op.attrs
+                if op.op_type == "Split":
+                    attrs = dict(attrs)
+                    attrs["_n_outputs"] = len(op.outputs)
+                result = get_op(op.op_type).fn(ctx, attrs, *args)
+            except Exception:
+                continue  # leave for runtime (e.g. unsupported edge case)
+            outs = result if isinstance(result, tuple) else (result,)
+            for out_id, val in zip(op.outputs, outs):
+                if out_id is None:
+                    continue
+                node = graph.nodes[out_id]
+                graph.nodes[out_id] = ConstantNode(
+                    node.name if node.name else None, np.asarray(val)
+                )
+                const_ids.add(out_id)
+            folded.add(op_id)
+            changed = True
+    return graph
+
+
+def _producer_map(graph: Graph) -> dict[int, int]:
+    return graph.producer_of()
+
+
+def _single_consumer(graph: Graph) -> dict[int, int]:
+    """value id → op id of its sole consumer (absent if 0 or >1 consumers or
+    it is a graph output)."""
+    counts: dict[int, int] = {}
+    consumer: dict[int, int] = {}
+    for op_id, op in graph.operator_nodes():
+        for inp in op.inputs:
+            if inp is not None:
+                counts[inp] = counts.get(inp, 0) + 1
+                consumer[inp] = op_id
+    outputs = set(graph.outputs)
+    return {
+        v: op_id
+        for v, op_id in consumer.items()
+        if counts[v] == 1 and v not in outputs
+    }
+
+
+def fuse_patterns(graph: Graph) -> Graph:
+    graph = _fuse_silu(graph)
+    graph = _fuse_gelu(graph)
+    return graph
+
+
+def _op(graph: Graph, op_id: int) -> OperatorNode:
+    node = graph.nodes[op_id]
+    assert isinstance(node, OperatorNode)
+    return node
+
+
+def _fuse_silu(graph: Graph) -> Graph:
+    """x * Sigmoid(x) → Silu(x) (reference: src/optimize.rs:435)."""
+    sole = _single_consumer(graph)
+    for op_id, op in list(graph.operator_nodes()):
+        if op.op_type != "Sigmoid" or not op.outputs or op.outputs[0] is None:
+            continue
+        sig_out = op.outputs[0]
+        mul_id = sole.get(sig_out)
+        if mul_id is None:
+            continue
+        mul = _op(graph, mul_id)
+        if mul.op_type != "Mul":
+            continue
+        x = op.inputs[0]
+        if x is None or set(mul.inputs) != {x, sig_out}:
+            continue
+        # Rewrite Mul → Silu(x); the orphaned Sigmoid drops out of future plans.
+        mul.op_type = "Silu"
+        mul.attrs = {}
+        mul.inputs = [x]
+    return graph
+
+
+def _fuse_gelu(graph: Graph) -> Graph:
+    """0.5 * x * (1 + Erf(x / sqrt(2))) → Gelu(x)
+    (reference: src/optimize.rs:456). Matches the common ONNX emission:
+    Div(x, sqrt2) → Erf → Add(1) → Mul(x) → Mul(0.5) in any Mul order."""
+    prod = _producer_map(graph)
+
+    def const_value(nid):
+        n = graph.nodes[nid] if nid is not None else None
+        return n.value if isinstance(n, ConstantNode) else None
+
+    for op_id, op in list(graph.operator_nodes()):
+        if op.op_type != "Erf":
+            continue
+        erf_in, erf_out = op.inputs[0], op.outputs[0]
+        if erf_in is None or erf_out is None:
+            continue
+        div_id = prod.get(erf_in)
+        if div_id is None:
+            continue
+        div = _op(graph, div_id)
+        if div.op_type != "Div":
+            continue
+        x = div.inputs[0]
+        sqrt2 = const_value(div.inputs[1])
+        if x is None or sqrt2 is None or not np.allclose(sqrt2, np.sqrt(2.0), rtol=1e-4):
+            continue
+        # Erf output → Add(1)
+        add_id = next(
+            (
+                oid
+                for oid, o in graph.operator_nodes()
+                if o.op_type == "Add" and erf_out in o.inputs
+            ),
+            None,
+        )
+        if add_id is None:
+            continue
+        add = _op(graph, add_id)
+        other = [i for i in add.inputs if i != erf_out]
+        one = const_value(other[0]) if other else None
+        if one is None or not np.allclose(one, 1.0):
+            continue
+        add_out = add.outputs[0]
+        # Add output → Mul with x → Mul with 0.5 (the two Muls in either order)
+        mul1_id = next(
+            (
+                oid
+                for oid, o in graph.operator_nodes()
+                if o.op_type == "Mul" and add_out in o.inputs
+            ),
+            None,
+        )
+        if mul1_id is None:
+            continue
+        mul1 = _op(graph, mul1_id)
+        partner = [i for i in mul1.inputs if i != add_out]
+        if not partner:
+            continue
+        p = partner[0]
+        half = const_value(p)
+        final_id = None
+        if p == x:
+            # (x * (1+erf)) then * 0.5
+            m1_out = mul1.outputs[0]
+            mul2_id = next(
+                (
+                    oid
+                    for oid, o in graph.operator_nodes()
+                    if o.op_type == "Mul" and m1_out in o.inputs
+                ),
+                None,
+            )
+            if mul2_id is None:
+                continue
+            mul2 = _op(graph, mul2_id)
+            other2 = [i for i in mul2.inputs if i != m1_out]
+            if not other2:
+                continue
+            half2 = const_value(other2[0])
+            if half2 is None or not np.allclose(half2, 0.5):
+                continue
+            final_id = mul2_id
+        elif half is not None and np.allclose(half, 0.5):
+            # ((1+erf) * 0.5) then * x
+            m1_out = mul1.outputs[0]
+            mul2_id = next(
+                (
+                    oid
+                    for oid, o in graph.operator_nodes()
+                    if o.op_type == "Mul" and m1_out in o.inputs and x in o.inputs
+                ),
+                None,
+            )
+            if mul2_id is None:
+                continue
+            final_id = mul2_id
+        else:
+            continue
+        final = _op(graph, final_id)
+        final.op_type = "Gelu"
+        final.attrs = {}
+        final.inputs = [x]
+    return graph
