@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 import re
+import struct
 from typing import Any
 
 import numpy as np
@@ -161,7 +162,10 @@ def load_rten(data: bytes | bytearray | memoryview) -> tuple[Graph, dict[str, An
         tensor_data = None
 
     reader = fbs.FbsReader(model_buf)
-    model = reader.root("Model")
+    try:
+        model = reader.root("Model")
+    except (ValueError, IndexError, struct.error) as e:
+        raise ModelLoadError(f"malformed FlatBuffers model data: {e}") from e
     graph_tbl = model.get("graph")
     if graph_tbl is None:
         raise ModelLoadError("model has no graph")

@@ -135,8 +135,9 @@ class Graph:
     ) -> int:
         """Add an operator plus fresh value nodes for its outputs; returns the
         first output's node id (convenience used by tests and builders)."""
+        base = name or op_type
         out_ids = [
-            self.add_value(f"{name or op_type}_out{i}" if n_outputs > 1 else (name or f"{op_type}_out"))
+            self.add_value(f"{base}_out{i}" if n_outputs > 1 else f"{base}_out")
             for i in range(n_outputs)
         ]
         self.add_operator(name or op_type, op_type, attrs, inputs, out_ids)

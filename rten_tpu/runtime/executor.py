@@ -81,7 +81,21 @@ def _apply_op(
         attrs = dict(attrs)
         attrs["_n_outputs"] = len(op.outputs)
     try:
-        result = spec.fn(ctx, attrs, *args)
+        if (
+            ctx.mode == "trace"
+            and spec.deterministic
+            and not subgraphs_of(op)
+            and not any(isinstance(a, jax.core.Tracer) for a in args)
+        ):
+            # All inputs are compile-time constants: evaluate NOW so the
+            # result stays concrete and downstream shape-valued consumers
+            # (Reshape/Slice/...) see static values. Without this, JAX 0.9
+            # turns every in-trace op into a tracer even on concrete
+            # operands, breaking shape-math constant folding.
+            with jax.ensure_compile_time_eval():
+                result = spec.fn(ctx, attrs, *args)
+        else:
+            result = spec.fn(ctx, attrs, *args)
     except OpError as e:
         raise RunError(f"operator '{op.name or op.op_type}' ({op.op_type}): {e}") from e
     outs = result if isinstance(result, tuple) else (result,)

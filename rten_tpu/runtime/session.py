@@ -222,7 +222,10 @@ class Model:
         del opts
         in_ids = self._resolve_ids(inputs.keys())
         out_ids = self._resolve_ids(outputs)
-        plan = self.graph.create_plan(in_ids, out_ids)
+        # Plan as if every graph input were present, then prune to what the
+        # provided subset can actually compute (reference: src/graph.rs:1276).
+        plan_inputs = sorted(set(self.graph.inputs) | set(in_ids))
+        plan = self.graph.create_plan(plan_inputs, out_ids)
         pruned, resolved = self.graph.prune_plan(plan, set(in_ids), out_ids)
         values: dict[int, Any] = dict(zip(in_ids, inputs.values()))
         from rten_tpu.ops.registry import OpContext
