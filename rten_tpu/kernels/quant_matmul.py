@@ -1,0 +1,144 @@
+"""Fused INT8 weight-dequant + matmul (Pallas) — the north-star kernel
+(BASELINE.json: "every dequant+matmul kernel at speed-of-light per chip").
+
+Weight-only quantization: activations stay bf16/f32, weights are int8 with
+per-output-channel f32 scales. The kernel streams int8 weight tiles from HBM
+(half the bytes of bf16 — this path is HBM-bandwidth-bound at inference batch
+sizes, so int8 weights ≈ 2× decode throughput), dequantizes in VMEM, and
+feeds the MXU. Scale application happens once on the f32 accumulator in the
+epilogue, not per K-tile, preserving accuracy (per-channel scales factor out
+of the K reduction exactly).
+
+Also provides the symmetric per-channel quantizer used by the converter and
+serving layer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rten_tpu.kernels.matmul_pallas import _ACTIVATIONS, _pad_to
+
+
+def quantize_weights_int8(w, axis: int = -1):
+    """Symmetric per-channel int8 quantization of a weight matrix.
+
+    Returns (w_int8, scales_f32) with ``w ≈ w_int8 * scales`` broadcast along
+    ``axis`` (the output-channel axis keeps its own scale)."""
+    w = np.asarray(w, dtype=np.float32)
+    reduce_axes = tuple(i for i in range(w.ndim) if i != (axis % w.ndim))
+    absmax = np.abs(w).max(axis=reduce_axes, keepdims=True)
+    scales = np.where(absmax == 0, 1.0, absmax / 127.0).astype(np.float32)
+    q = np.clip(np.round(w / scales), -127, 127).astype(np.int8)
+    return q, np.squeeze(scales, axis=reduce_axes).astype(np.float32)
+
+
+def _q_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, activation, n_k):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # Dequantize the int8 tile right before the MXU; accumulate raw (scale
+    # applied once in the epilogue). The int8→f32→bf16 double conversion is
+    # deliberate: Mosaic lowers it faster than a direct int8→bf16 retile
+    # (measured 123 vs 87 TF/s at 1024³ on v5e).
+    w_tile = w_ref[...].astype(jnp.float32).astype(x_ref.dtype)
+    acc_ref[...] += jnp.dot(
+        x_ref[...], w_tile, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _epilogue():
+        out = acc_ref[...] * s_ref[...].astype(jnp.float32)
+        if b_ref is not None:
+            out = out + b_ref[...].astype(jnp.float32)
+        out = _ACTIVATIONS[activation](out)
+        o_ref[...] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("activation", "block_m", "block_n", "block_k", "out_dtype", "interpret"),
+)
+def quant_matmul_int8(
+    x,
+    w_q,
+    scales,
+    bias=None,
+    *,
+    activation: str | None = None,
+    block_m: int = 256,
+    block_n: int = 256,
+    block_k: int = 512,
+    out_dtype=None,
+    interpret: bool = False,
+):
+    """out = activation((x @ w_q) * scales + bias).
+
+    x: [M, K] f32/bf16; w_q: [K, N] int8; scales: [N] f32 (per out-channel);
+    bias: [N] optional.
+    """
+    m, k = x.shape
+    k2, n = w_q.shape
+    assert k == k2
+    out_dtype = out_dtype or x.dtype
+
+    block_m = min(block_m, max(128, -(-m // 128) * 128))
+    block_n = min(block_n, max(128, -(-n // 128) * 128))
+    # int8 min tile is (32, 128); keep K blocks 128-aligned and ≥256 for DMA
+    # efficiency.
+    block_k = min(block_k, max(256, -(-k // 256) * 256))
+
+    xp = _pad_to(_pad_to(x, block_m, 0), block_k, 1)
+    wp = _pad_to(_pad_to(w_q, block_k, 0), block_n, 1)
+    sp = _pad_to(scales.reshape(1, -1), block_n, 1)
+    mp, kp = xp.shape
+    np_ = wp.shape[1]
+    n_k = kp // block_k
+
+    in_specs = [
+        pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
+        pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j)),
+        pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
+    ]
+    args = [xp, wp, sp]
+    if bias is not None:
+        bp = _pad_to(bias.reshape(1, -1), block_n, 1)
+        in_specs.append(pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)))
+        args.append(bp)
+        kernel = functools.partial(_q_kernel, activation=activation, n_k=n_k)
+    else:
+        kernel = functools.partial(
+            lambda x_ref, w_ref, s_ref, o_ref, acc_ref, **kw: _q_kernel(
+                x_ref, w_ref, s_ref, None, o_ref, acc_ref, **kw
+            ),
+            activation=activation,
+            n_k=n_k,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        grid=(mp // block_m, np_ // block_n, n_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=(
+                mp * kp * xp.dtype.itemsize + kp * np_ + mp * np_ * jnp.dtype(out_dtype).itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:m, :n]

@@ -1,0 +1,125 @@
+"""Pallas kernel tests (interpret mode on CPU; the driver benches the
+compiled kernels on real TPU). Parity bar: fp32 logits <= 1e-3
+(BASELINE.json accuracy target)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rten_tpu.kernels.attention import attention_reference, flash_attention
+from rten_tpu.kernels.matmul_pallas import matmul_fused
+from rten_tpu.kernels.quant_matmul import quant_matmul_int8, quantize_weights_int8
+
+
+def test_matmul_fused_basic(rng):
+    x = rng.standard_normal((64, 96)).astype(np.float32)
+    w = rng.standard_normal((96, 80)).astype(np.float32)
+    out = matmul_fused(x, w, block_m=128, block_n=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), x @ w, rtol=1e-5, atol=1e-4)
+
+
+def test_matmul_fused_bias_activation(rng):
+    x = rng.standard_normal((32, 48)).astype(np.float32)
+    w = rng.standard_normal((48, 40)).astype(np.float32)
+    b = rng.standard_normal((40,)).astype(np.float32)
+    out = matmul_fused(
+        x, w, b, activation="relu",
+        block_m=128, block_n=128, block_k=128, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.maximum(x @ w + b, 0), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_matmul_fused_multi_k_blocks(rng):
+    x = rng.standard_normal((128, 384)).astype(np.float32)
+    w = rng.standard_normal((384, 128)).astype(np.float32)
+    out = matmul_fused(x, w, block_m=128, block_n=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), x @ w, rtol=1e-4, atol=1e-3)
+
+
+def test_quantize_weights_round_trip(rng):
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    q, s = quantize_weights_int8(w, axis=-1)
+    assert q.dtype == np.int8 and s.shape == (32,)
+    np.testing.assert_allclose(q.astype(np.float32) * s, w, atol=np.abs(w).max() / 127)
+
+
+def test_quant_matmul_int8(rng):
+    x = rng.standard_normal((32, 256)).astype(np.float32)
+    w = rng.standard_normal((256, 64)).astype(np.float32)
+    w_q, s = quantize_weights_int8(w, axis=-1)
+    out = quant_matmul_int8(
+        x, w_q, s, block_m=128, block_n=128, block_k=256, interpret=True
+    )
+    ref = x @ (w_q.astype(np.float32) * s)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-3)
+    # and close to the unquantized product at int8 fidelity
+    err = np.abs(np.asarray(out) - x @ w).max()
+    assert err < 0.5, err
+
+
+def test_quant_matmul_bias_act(rng):
+    x = rng.standard_normal((16, 128)).astype(np.float32)
+    w = rng.standard_normal((128, 32)).astype(np.float32)
+    b = rng.standard_normal((32,)).astype(np.float32)
+    w_q, s = quantize_weights_int8(w)
+    out = quant_matmul_int8(
+        x, w_q, s, b, activation="gelu",
+        block_m=128, block_n=128, block_k=128, interpret=True,
+    )
+    h = x @ (w_q.astype(np.float32) * s) + b
+    ref = np.asarray(jax.nn.gelu(h, approximate=False))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attention_matches_reference(causal, rng):
+    b, h, sq, skv, d = 2, 3, 128, 256, 64
+    q = rng.standard_normal((b, h, sq, d)).astype(np.float32) * 0.5
+    k = rng.standard_normal((b, h, skv, d)).astype(np.float32) * 0.5
+    v = rng.standard_normal((b, h, skv, d)).astype(np.float32)
+    out = flash_attention(q, k, v, causal=causal, interpret=True)
+    ref = attention_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-3)
+
+
+def test_flash_attention_gqa(rng):
+    b, qh, kvh, sq, d = 1, 4, 2, 128, 32
+    q = rng.standard_normal((b, qh, sq, d)).astype(np.float32) * 0.3
+    k = rng.standard_normal((b, kvh, sq, d)).astype(np.float32) * 0.3
+    v = rng.standard_normal((b, kvh, sq, d)).astype(np.float32)
+    out = flash_attention(q, k, v, causal=True, interpret=True)
+    ref = attention_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-3)
+
+
+def test_flash_attention_kv_len_mask(rng):
+    """Preallocated cache: only the first kv_len slots are valid."""
+    b, h, skv, d = 2, 2, 256, 32
+    q = rng.standard_normal((b, h, 8, d)).astype(np.float32) * 0.3
+    k = rng.standard_normal((b, h, skv, d)).astype(np.float32) * 0.3
+    v = rng.standard_normal((b, h, skv, d)).astype(np.float32)
+    kv_len = np.array([100, 37], np.int32)
+    q_offset = kv_len - 8  # decoding the last 8 positions
+    out = flash_attention(
+        q, k, v, causal=True, q_offset=q_offset, kv_len=kv_len, interpret=True
+    )
+    ref = attention_reference(
+        q, k, v, causal=True, q_offset=q_offset, kv_len=kv_len
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-3)
+
+
+def test_flash_attention_decode_single_token(rng):
+    b, h, skv, d = 2, 4, 128, 64
+    q = rng.standard_normal((b, h, 1, d)).astype(np.float32) * 0.3
+    k = rng.standard_normal((b, h, skv, d)).astype(np.float32) * 0.3
+    v = rng.standard_normal((b, h, skv, d)).astype(np.float32)
+    kv_len = np.array([64, 128], np.int32)
+    out = flash_attention(
+        q, k, v, causal=True, q_offset=kv_len - 1, kv_len=kv_len, interpret=True
+    )
+    ref = attention_reference(q, k, v, causal=True, q_offset=kv_len - 1, kv_len=kv_len)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-3)
