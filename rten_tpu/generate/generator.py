@@ -1,0 +1,250 @@
+"""The autoregressive generation loop.
+
+Reference: rten-generate/src/generator.rs — Generator :235 (iterator of
+token ids), from_model_config :319 (HF-Optimum input-name discovery),
+with_prompt :465 / append_prompt :474 (multi-turn chat),
+generate_next_token :511 (the per-step dance). The TPU redesign executes TWO
+compiled programs — prefill and decode-step — over a preallocated KV cache,
+instead of one graph run per token with cache tensors moved in and out by
+value (generator.rs:565-641).
+
+Two backends:
+- ``NativeBackend`` — rten_tpu.models.decoder functional models (fast path;
+  single XLA program per step, Pallas attention, optional INT8 weights).
+- ``GraphBackend`` — any loaded `.rten`/ONNX graph following HF Optimum
+  conventions (input_ids / attention_mask / position_ids /
+  past_key_values.N.key|value). Runs the graph in interpret mode because the
+  ONNX-style cache grows per step (dynamic shapes); use a native model for
+  production serving.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rten_tpu.generate.metrics import Metrics
+from rten_tpu.generate.sampler import ArgMaxSampler, Sampler
+
+
+@dataclasses.dataclass
+class GeneratorConfig:
+    """Reference: GeneratorConfig/ModelInputsConfig, generator.rs:118-170."""
+
+    max_tokens: int = 128
+    eos_tokens: tuple[int, ...] = ()
+    seed: int = 0
+
+
+class NativeBackend:
+    """Backend over rten_tpu.models.decoder (params, cfg)."""
+
+    def __init__(self, params, cfg, batch: int = 1, max_len: int | None = None):
+        from rten_tpu.models import decoder
+
+        self._decoder = decoder
+        self.params = params
+        self.cfg = cfg
+        self.batch = batch
+        self.max_len = max_len or cfg.max_seq
+        self.cache = decoder.init_cache(cfg, batch, self.max_len)
+
+    def reset(self) -> None:
+        self.cache = self._decoder.init_cache(self.cfg, self.batch, self.max_len)
+
+    def prefill(self, tokens: np.ndarray) -> jax.Array:
+        logits, self.cache = self._decoder.prefill(
+            self.params, self.cfg, jnp.asarray(tokens, jnp.int32), self.cache
+        )
+        return logits[:, -1, :]
+
+    def decode(self, tokens: np.ndarray) -> jax.Array:
+        logits, self.cache = self._decoder.decode_step(
+            self.params, self.cfg, jnp.asarray(tokens, jnp.int32), self.cache
+        )
+        return logits[:, -1, :]
+
+
+class GraphBackend:
+    """Backend over a loaded graph Model using HF-Optimum naming conventions
+    (reference: from_model_config name matching, generator.rs:319 +
+    ModelInputsConfig defaults :151-170)."""
+
+    CACHE_PATTERNS = (
+        re.compile(r"^past_key_values\.(\d+)\.(key|value)$"),
+        re.compile(r"^past_key_values\.(\d+)\.(decoder|encoder)\.(key|value)$"),
+    )
+
+    def __init__(self, model):
+        from rten_tpu.runtime.session import RunOptions
+
+        self.model = model
+        self.opts = RunOptions(mode="interpret")
+        names = model.input_names()
+        self.input_ids_name = "input_ids"
+        self.attention_mask_name = "attention_mask" if "attention_mask" in names else None
+        self.position_ids_name = "position_ids" if "position_ids" in names else None
+        self.cache_inputs: list[str] = [
+            n for n in names if any(p.match(n) for p in self.CACHE_PATTERNS)
+        ]
+        out_names = model.output_names()
+        self.logits_name = "logits" if "logits" in out_names else out_names[0]
+        self.cache_outputs = {
+            n: n.replace("present", "past_key_values").replace(".decoder", "").replace(".encoder", "")
+            for n in out_names
+            if n.startswith("present")
+        }
+        # Cache state: name → array
+        self.cache: dict[str, np.ndarray] = {}
+        self.seq_len = 0
+        self._kv_meta = self._discover_kv_meta()
+
+    def _discover_kv_meta(self):
+        metas = {}
+        for name in self.cache_inputs:
+            nid = self.model.node_id(name)
+            shape = self.model.input_shape(nid) or []
+            metas[name] = shape
+        return metas
+
+    def reset(self) -> None:
+        self.cache = {}
+        self.seq_len = 0
+
+    def _empty_cache_value(self, name: str, batch: int) -> np.ndarray:
+        shape = list(self._kv_meta.get(name) or [])
+        dims = [batch if isinstance(d, str) and "batch" in d else d for d in shape]
+        dims = [0 if isinstance(d, str) or d is None else int(d) for d in dims]
+        # Zero-length sequence axis: assume axis -2 is the sequence.
+        if len(dims) >= 2:
+            dims[-2] = 0
+        return np.zeros(dims, dtype=np.float32)
+
+    def _step(self, tokens: np.ndarray) -> jax.Array:
+        batch, t = tokens.shape
+        inputs: dict[str, Any] = {self.input_ids_name: tokens.astype(np.int32)}
+        new_len = self.seq_len + t
+        if self.attention_mask_name:
+            inputs[self.attention_mask_name] = np.ones((batch, new_len), np.int32)
+        if self.position_ids_name:
+            inputs[self.position_ids_name] = np.arange(self.seq_len, new_len, dtype=np.int32)[None, :].repeat(batch, 0)
+        for name in self.cache_inputs:
+            inputs[name] = self.cache.get(name)
+            if inputs[name] is None:
+                inputs[name] = self._empty_cache_value(name, batch)
+        wanted = [self.logits_name, *self.cache_outputs.keys()]
+        outs = self.model.run(inputs, wanted, self.opts)
+        logits = np.asarray(outs[0])
+        for out_name, vals in zip(list(self.cache_outputs.keys()), outs[1:]):
+            self.cache[self.cache_outputs[out_name]] = np.asarray(vals)
+        self.seq_len = new_len
+        return jnp.asarray(logits[:, -1, :])
+
+    def prefill(self, tokens: np.ndarray) -> jax.Array:
+        return self._step(tokens)
+
+    def decode(self, tokens: np.ndarray) -> jax.Array:
+        return self._step(tokens)
+
+
+class Generator:
+    """Iterator over generated token ids (one per batch row per step).
+
+    Usage mirrors the reference chain (rten-examples/src/gpt2.rs:112-118):
+
+        gen = (Generator(backend)
+               .with_prompt(prompt_ids)
+               .with_sampler(TopKSampler(40))
+               .profile(metrics))
+        for token in itertools.islice(gen, 50): ...
+    """
+
+    def __init__(self, backend, config: GeneratorConfig | None = None):
+        self.backend = backend
+        self.config = config or GeneratorConfig()
+        self.sampler: Sampler = ArgMaxSampler()
+        self.metrics: Metrics | None = None
+        self._pending: np.ndarray | None = None
+        self._rng = jax.random.PRNGKey(self.config.seed)
+        self._emitted = 0
+        self._finished = False
+        self._first = True
+        self._on_token: Callable[[np.ndarray], None] | None = None
+
+    # -- builder API (reference: generator.rs with_prompt :465 etc.) --------
+
+    def with_prompt(self, prompt: list[int] | np.ndarray) -> "Generator":
+        arr = np.asarray(prompt, np.int32)
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        self._pending = arr
+        return self
+
+    def append_prompt(self, prompt: list[int] | np.ndarray) -> "Generator":
+        """Add follow-up prompt tokens mid-conversation (multi-turn chat,
+        reference: generator.rs:474). The not-yet-fed last sampled token is
+        prepended so the model sees the full history."""
+        arr = np.asarray(prompt, np.int32)
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        if self._pending is None and not self._first:
+            self._pending = np.concatenate([self._last[:, None], arr], axis=1)
+        elif self._pending is not None:
+            self._pending = np.concatenate([self._pending, arr], axis=1)
+        else:
+            self._pending = arr
+        self._finished = False
+        return self
+
+    def with_sampler(self, sampler: Sampler) -> "Generator":
+        self.sampler = sampler
+        return self
+
+    def profile(self, metrics: Metrics) -> "Generator":
+        self.metrics = metrics
+        return self
+
+    def on_token(self, cb: Callable[[np.ndarray], None]) -> "Generator":
+        self._on_token = cb
+        return self
+
+    # -- iteration ------------------------------------------------------------
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        return self
+
+    def __next__(self) -> np.ndarray:
+        if self._finished or self._emitted >= self.config.max_tokens:
+            raise StopIteration
+        if self.metrics:
+            self.metrics.start_step()
+        if self._pending is not None:
+            tokens = self._pending
+            self._pending = None
+            logits = (
+                self.backend.prefill(tokens)
+                if self._first
+                else self.backend.decode(tokens)
+            )
+            self._first = False
+        else:
+            logits = self.backend.decode(self._last[:, None])
+        self._rng, sub = jax.random.split(self._rng)
+        next_tokens = np.asarray(self.sampler.sample(sub, logits))
+        jax.block_until_ready(next_tokens)
+        if self.metrics:
+            self.metrics.end_step()
+        self._last = next_tokens
+        self._emitted += 1
+        if self.config.eos_tokens and bool(
+            np.all(np.isin(next_tokens, self.config.eos_tokens))
+        ):
+            self._finished = True
+        if self._on_token:
+            self._on_token(next_tokens)
+        return next_tokens

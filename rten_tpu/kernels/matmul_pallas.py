@@ -25,10 +25,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+def _erf_poly(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7) — Mosaic has
+    no erf/erfc lowering, and 1.5e-7 is far inside the 1e-3 parity budget."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429,
+    )
+    p = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    y = 1.0 - (((((a5 * t + a4) * t) + a3) * t + a2) * t + a1) * t * jnp.exp(-ax * ax)
+    return sign * y
+
+
+def _gelu_erf(x):
+    # 0.5·x·(1+erf(x/√2)) — the reference's exact (non-tanh) GELU
+    # (src/optimize.rs:456 fuse_gelu).
+    return 0.5 * x * (1.0 + _erf_poly(x * 0.7071067811865475))
+
+
 _ACTIVATIONS = {
     None: lambda x: x,
     "relu": jax.nn.relu,
-    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu": _gelu_erf,
     "silu": jax.nn.silu,
     "sigmoid": jax.nn.sigmoid,
     "tanh": jnp.tanh,
@@ -63,6 +83,18 @@ def _pad_to(x, multiple, axis):
     return jnp.pad(x, widths)
 
 
+def pick_block(dim: int, preferred: int) -> int:
+    """Largest 128-multiple ≤ preferred that divides ``dim``; falls back to
+    preferred (caller pads). Padding a WEIGHT inside a traced step copies the
+    whole matrix every step — divisor blocks avoid that entirely."""
+    if dim % 128 != 0:
+        return min(preferred, max(128, -(-dim // 128) * 128))
+    for cand in range(min(preferred, dim), 127, -128):
+        if dim % cand == 0:
+            return cand
+    return preferred
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("activation", "block_m", "block_n", "block_k", "out_dtype", "interpret"),
@@ -92,8 +124,8 @@ def matmul_fused(
     out_dtype = out_dtype or x.dtype
 
     block_m = min(block_m, max(128, -(-m // 128) * 128))
-    block_n = min(block_n, max(128, -(-n // 128) * 128))
-    block_k = min(block_k, max(128, -(-k // 128) * 128))
+    block_n = pick_block(n, block_n)
+    block_k = pick_block(k, block_k)
 
     xp = _pad_to(_pad_to(x, block_m, 0), block_k, 1)
     wp = _pad_to(_pad_to(w, block_k, 0), block_n, 1)

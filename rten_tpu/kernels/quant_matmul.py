@@ -23,7 +23,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rten_tpu.kernels.matmul_pallas import _ACTIVATIONS, _pad_to
+from rten_tpu.kernels.matmul_pallas import _ACTIVATIONS, _pad_to, pick_block
 
 
 def quantize_weights_int8(w, axis: int = -1):
@@ -90,10 +90,10 @@ def quant_matmul_int8(
     out_dtype = out_dtype or x.dtype
 
     block_m = min(block_m, max(128, -(-m // 128) * 128))
-    block_n = min(block_n, max(128, -(-n // 128) * 128))
-    # int8 min tile is (32, 128); keep K blocks 128-aligned and ≥256 for DMA
-    # efficiency.
-    block_k = min(block_k, max(256, -(-k // 256) * 256))
+    block_n = pick_block(n, block_n)
+    # int8 min tile is (32, 128); divisor blocks avoid re-padding weights
+    # inside a traced decode step (a full-matrix copy per step otherwise).
+    block_k = pick_block(k, block_k)
 
     xp = _pad_to(_pad_to(x, block_m, 0), block_k, 1)
     wp = _pad_to(_pad_to(w_q, block_k, 0), block_n, 1)

@@ -1,0 +1,464 @@
+"""Generic autoregressive transformer decoder (GPT-2-class and Llama-class).
+
+The reference serves GPT-2 / Qwen2 by executing their exported ONNX graphs
+op-by-op with a concat-grown KV cache (rten-examples/src/gpt2.rs,
+rten-generate). This native implementation is the TPU-first redesign:
+
+- functional params pytree + pure ``forward`` → one jitted XLA program for
+  prefill and one for decode (no per-op dispatch)
+- preallocated KV cache updated with dynamic_update_slice (no concat-growth
+  reallocations — the reference's per-step cache ownership dance,
+  generator.rs:565-641, is the anti-pattern this replaces)
+- fused Pallas flash attention with per-batch kv_len/q_offset masks
+- optional INT8 weight-only quantization through the fused dequant+matmul
+  kernel
+- config switches cover GPT-2 (learned pos, LayerNorm, GELU) and Llama
+  (RoPE, RMSNorm, SwiGLU, GQA)
+
+Sharding (rten_tpu.parallel) maps heads/ffn onto the "model" mesh axis and
+batch onto "data"; this module stays sharding-agnostic — pjit handles it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rten_tpu.kernels import dispatch
+from rten_tpu.kernels.attention import attention_reference, flash_attention
+from rten_tpu.kernels.quant_matmul import quantize_weights_int8
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int = 50257
+    n_layers: int = 12
+    n_heads: int = 12
+    n_kv_heads: int | None = None  # None → MHA (= n_heads)
+    d_model: int = 768
+    d_ff: int = 3072
+    max_seq: int = 1024
+    pos_encoding: str = "learned"  # "learned" | "rope"
+    norm: str = "layernorm"  # "layernorm" | "rmsnorm"
+    activation: str = "gelu"  # "gelu" | "swiglu"
+    rope_theta: float = 10000.0
+    layer_norm_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+    tie_embeddings: bool = True
+
+    @property
+    def kv_heads(self) -> int:
+        return self.n_kv_heads or self.n_heads
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+
+GPT2_SMALL = DecoderConfig()
+LLAMA_TINY = DecoderConfig(
+    vocab_size=32000,
+    n_layers=4,
+    n_heads=8,
+    n_kv_heads=4,
+    d_model=512,
+    d_ff=1376,
+    max_seq=2048,
+    pos_encoding="rope",
+    norm="rmsnorm",
+    activation="swiglu",
+    tie_embeddings=False,
+)
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+
+def init_params(rng: jax.Array, cfg: DecoderConfig) -> dict:
+    """Random-init params pytree (benchmarks use this; real weights come from
+    load_params/convert)."""
+    keys = iter(jax.random.split(rng, 4 + cfg.n_layers * 12))
+
+    def dense(shape, scale=0.02):
+        return (jax.random.normal(next(keys), shape, jnp.float32) * scale).astype(
+            cfg.dtype
+        )
+
+    d, ff, h, hk, hd = cfg.d_model, cfg.d_ff, cfg.n_heads, cfg.kv_heads, cfg.head_dim
+    params: dict[str, Any] = {
+        "tok_emb": dense((cfg.vocab_size, d)),
+        "final_norm": _norm_params(cfg, d),
+        "layers": [],
+    }
+    if cfg.pos_encoding == "learned":
+        params["pos_emb"] = dense((cfg.max_seq, d))
+    if not cfg.tie_embeddings:
+        params["lm_head"] = dense((d, cfg.vocab_size))
+    for _ in range(cfg.n_layers):
+        layer = {
+            "ln1": _norm_params(cfg, d),
+            "ln2": _norm_params(cfg, d),
+            "wq": dense((d, h * hd)),
+            "wk": dense((d, hk * hd)),
+            "wv": dense((d, hk * hd)),
+            "wo": dense((h * hd, d)),
+        }
+        if cfg.activation == "swiglu":
+            layer["w_gate"] = dense((d, ff))
+            layer["w_up"] = dense((d, ff))
+            layer["w_down"] = dense((ff, d))
+        else:
+            layer["w_up"] = dense((d, ff))
+            layer["b_up"] = jnp.zeros((ff,), cfg.dtype)
+            layer["w_down"] = dense((ff, d))
+            layer["b_down"] = jnp.zeros((d,), cfg.dtype)
+            layer["bq"] = jnp.zeros((h * hd,), cfg.dtype)
+            layer["bk"] = jnp.zeros((hk * hd,), cfg.dtype)
+            layer["bv"] = jnp.zeros((hk * hd,), cfg.dtype)
+            layer["bo"] = jnp.zeros((d,), cfg.dtype)
+        params["layers"].append(layer)
+    return params
+
+
+def _norm_params(cfg: DecoderConfig, d: int) -> dict:
+    p = {"scale": jnp.ones((d,), cfg.dtype)}
+    if cfg.norm == "layernorm":
+        p["bias"] = jnp.zeros((d,), cfg.dtype)
+    return p
+
+
+def quantize_params_int8(params: dict) -> dict:
+    """Weight-only INT8: every ≥2-D projection matrix becomes
+    {"q": int8, "s": f32 per-out-channel scales} (BASELINE.json INT8 path).
+
+    Awkward output dims (vocab) are zero-padded to 128 multiples HERE, once —
+    padding inside a traced decode step would copy the whole matrix every
+    step. ``_proj`` slices the padded columns back off. Tied embeddings get a
+    dedicated quantized ``lm_head_q`` (the gather table itself stays dense)."""
+
+    def q(leaf):
+        if isinstance(leaf, dict):
+            return leaf
+        arr = np.asarray(leaf, np.float32)
+        if arr.ndim == 2 and arr.size >= 1 << 16:
+            pad_k = -arr.shape[0] % 128
+            pad_n = -arr.shape[1] % 128
+            if pad_k or pad_n:
+                arr = np.pad(arr, ((0, pad_k), (0, pad_n)))
+            qw, s = quantize_weights_int8(arr, axis=-1)
+            return {"q": jnp.asarray(qw), "s": jnp.asarray(s)}
+        return leaf
+
+    def walk(node, key=""):
+        if isinstance(node, dict):
+            if set(node) == {"q", "s"}:
+                return node
+            return {k: walk(v, k) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, key) for v in node]
+        if key in ("tok_emb", "pos_emb"):
+            # Embeddings are gathered, not matmul'd — keep them dense.
+            return node
+        return q(node)
+
+    out = walk(params)
+    if "lm_head" not in out:
+        # Tied embeddings: quantize the logits projection separately so the
+        # decode hot loop reads int8 (the bf16 tied matrix would otherwise be
+        # half of all per-token HBM traffic).
+        out["lm_head_q"] = q(np.asarray(params["tok_emb"], np.float32).T)
+
+    # Fuse the Q/K/V projections into one kernel launch per layer (and
+    # gate|up for SwiGLU) — at decode batch sizes per-kernel overhead beats
+    # bandwidth as the bottleneck, so fewer, larger kernels win.
+    for src, fused in zip(params["layers"], out["layers"]):
+        wq, wk, wv = (np.asarray(src[k], np.float32) for k in ("wq", "wk", "wv"))
+        if (wq.shape[1] + wk.shape[1] + wv.shape[1]) % 128 == 0:
+            fused["wqkv"] = q(np.concatenate([wq, wk, wv], axis=1))
+            for k in ("wq", "wk", "wv"):
+                fused.pop(k, None)
+            if "bq" in src:
+                fused["bqkv"] = jnp.concatenate(
+                    [jnp.asarray(src[k]) for k in ("bq", "bk", "bv")]
+                )
+                for k in ("bq", "bk", "bv"):
+                    fused.pop(k, None)
+        if "w_gate" in src:
+            wg, wu = np.asarray(src["w_gate"], np.float32), np.asarray(src["w_up"], np.float32)
+            if (wg.shape[1] * 2) % 128 == 0:
+                fused["w_gu"] = q(np.concatenate([wg, wu], axis=1))
+                fused.pop("w_gate", None)
+                fused.pop("w_up", None)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+def init_cache(cfg: DecoderConfig, batch: int, max_len: int | None = None) -> dict:
+    """Preallocated KV cache: per-layer k/v arrays [batch, kv_heads, max_len,
+    head_dim] + per-sequence lengths. Per-layer leaves (not one stacked
+    array) so each step's dynamic_update_slice aliases its own donated
+    buffer — a stacked layout would force XLA to materialize a full cache
+    copy per step. Zero reallocation during generation."""
+    max_len = max_len or cfg.max_seq
+    shape = (batch, cfg.kv_heads, max_len, cfg.head_dim)
+    return {
+        "k": [jnp.zeros(shape, cfg.dtype) for _ in range(cfg.n_layers)],
+        "v": [jnp.zeros(shape, cfg.dtype) for _ in range(cfg.n_layers)],
+        "len": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _norm(x, p, cfg: DecoderConfig):
+    xf = x.astype(jnp.float32)
+    if cfg.norm == "rmsnorm":
+        inv = jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + cfg.layer_norm_eps)
+        return (xf * inv).astype(x.dtype) * p["scale"]
+    mean = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.var(xf, -1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + cfg.layer_norm_eps)
+    return out.astype(x.dtype) * p["scale"] + p["bias"]
+
+
+def _proj(x, w, b=None, out_dim: int | None = None, activation: str | None = None):
+    """x: [..., K] @ w (+b, +activation); w is either a dense matrix or a
+    {"q","s"} int8 pack (pre-padded to 128 multiples — ``out_dim`` slices
+    padding back off). On the int8 TPU path, bias and activation fuse into
+    the Pallas kernel epilogue."""
+    if isinstance(w, dict):
+        from rten_tpu.kernels.quant_matmul import quant_matmul_int8
+
+        shape = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        pad_k = w["q"].shape[0] - x2.shape[-1]
+        if pad_k:
+            x2 = jnp.pad(x2, ((0, 0), (0, pad_k)))
+        n_kernel = w["q"].shape[1]
+        unpadded = out_dim is None or out_dim == n_kernel
+        epilogue_fused = dispatch.on_tpu() and unpadded
+        if epilogue_fused:
+            out = quant_matmul_int8(x2, w["q"], w["s"], b, activation=activation)
+        elif dispatch.on_tpu():
+            out = quant_matmul_int8(x2, w["q"], w["s"])
+        else:
+            out = x2 @ (w["q"].astype(x.dtype) * w["s"].astype(x.dtype))
+        out = out.reshape(*shape, -1)
+        if out_dim is not None and out.shape[-1] != out_dim:
+            out = out[..., :out_dim]
+        if not epilogue_fused:
+            if b is not None:
+                out = out + b
+            if activation == "gelu":
+                out = jax.nn.gelu(out.astype(jnp.float32), approximate=False).astype(
+                    x.dtype
+                )
+        return out.astype(x.dtype)
+    out = dispatch.matmul(x, w)
+    if out_dim is not None and out.shape[-1] != out_dim:
+        out = out[..., :out_dim]
+    if b is not None:
+        out = out + b
+    if activation == "gelu":
+        out = jax.nn.gelu(out.astype(jnp.float32), approximate=False).astype(x.dtype)
+    return out
+
+
+def _rope(x, positions, theta: float):
+    """Rotary embeddings. x: [B, H, T, D], positions: [B, T]."""
+    d = x.shape[-1]
+    freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    angles = positions[:, None, :, None].astype(jnp.float32) * freqs  # [B,1,T,D/2]
+    cos = jnp.cos(angles)
+    sin = jnp.sin(angles)
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def forward(
+    params: dict,
+    cfg: DecoderConfig,
+    tokens: jax.Array,  # [B, T] int32
+    cache: dict | None = None,
+    *,
+    use_flash: bool | None = None,
+) -> tuple[jax.Array, dict | None]:
+    """Returns (logits [B, T, vocab], updated cache). With a cache, tokens are
+    appended at cache["len"]; without, this is a plain full-sequence forward."""
+    b, t = tokens.shape
+    h, hk, hd = cfg.n_heads, cfg.kv_heads, cfg.head_dim
+    if use_flash is None:
+        use_flash = dispatch.on_tpu()
+
+    x = jnp.take(params["tok_emb"], tokens, axis=0)  # [B, T, D]
+    if cache is not None:
+        start = cache["len"]  # [B]
+        positions = start[:, None] + jnp.arange(t)[None, :]
+    else:
+        positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+    if cfg.pos_encoding == "learned":
+        x = x + jnp.take(params["pos_emb"], positions, axis=0)
+
+    new_k_layers = []
+    new_v_layers = []
+    for li, layer in enumerate(params["layers"]):
+        resid = x
+        xn = _norm(x, layer["ln1"], cfg)
+        if "wqkv" in layer:
+            qkv_dim = (h + 2 * hk) * hd
+            qkv = _proj(xn, layer["wqkv"], layer.get("bqkv"), out_dim=qkv_dim)
+            q, k, v = (
+                qkv[..., : h * hd],
+                qkv[..., h * hd : (h + hk) * hd],
+                qkv[..., (h + hk) * hd :],
+            )
+        else:
+            q = _proj(xn, layer["wq"], layer.get("bq"))
+            k = _proj(xn, layer["wk"], layer.get("bk"))
+            v = _proj(xn, layer["wv"], layer.get("bv"))
+        q = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, hk, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, hk, hd).transpose(0, 2, 1, 3)
+        if cfg.pos_encoding == "rope":
+            q = _rope(q, positions, cfg.rope_theta)
+            k = _rope(k, positions, cfg.rope_theta)
+
+        if cache is not None:
+            # Per-batch scatter at each sequence's own length; per-layer
+            # leaves let XLA alias the donated buffers (true in-place update).
+            k_cache = _update_cache(cache["k"][li], k, start)
+            v_cache = _update_cache(cache["v"][li], v, start)
+            new_k_layers.append(k_cache)
+            new_v_layers.append(v_cache)
+            kv_len = start + t
+            attn_in = (q, k_cache, v_cache)
+            q_offset = start
+        else:
+            kv_len = jnp.full((b,), t, jnp.int32)
+            attn_in = (q, k, v)
+            q_offset = jnp.zeros((b,), jnp.int32)
+
+        if use_flash:
+            attn = flash_attention(
+                *attn_in, causal=True, q_offset=q_offset, kv_len=kv_len
+            )
+        else:
+            attn = attention_reference(
+                *attn_in, causal=True, q_offset=q_offset, kv_len=kv_len
+            )
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+        x = resid + _proj(attn, layer["wo"], layer.get("bo"))
+
+        resid = x
+        xn = _norm(x, layer["ln2"], cfg)
+        if cfg.activation == "swiglu":
+            if "w_gu" in layer:
+                gu = _proj(xn, layer["w_gu"], out_dim=2 * cfg.d_ff)
+                gate, up = gu[..., : cfg.d_ff], gu[..., cfg.d_ff :]
+            else:
+                gate = _proj(xn, layer["w_gate"])
+                up = _proj(xn, layer["w_up"])
+            ff = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+        else:
+            # GELU fuses into the up-projection epilogue on the int8 path.
+            ff = _proj(xn, layer["w_up"], layer.get("b_up"), activation="gelu")
+        x = resid + _proj(ff, layer["w_down"], layer.get("b_down"))
+
+    x = _norm(x, params["final_norm"], cfg)
+    if cfg.tie_embeddings:
+        if "lm_head_q" in params:
+            logits = _proj(x, params["lm_head_q"], out_dim=cfg.vocab_size)
+        else:
+            logits = dispatch.matmul(x, params["tok_emb"].T)
+    else:
+        logits = _proj(x, params["lm_head"], out_dim=cfg.vocab_size)
+
+    if cache is not None:
+        new_cache = {
+            "k": new_k_layers,
+            "v": new_v_layers,
+            "len": cache["len"] + t,
+        }
+        return logits.astype(jnp.float32), new_cache
+    return logits.astype(jnp.float32), None
+
+
+def _update_cache(cache_layer, new_kv, start):
+    """cache_layer: [B, Hk, S, D]; new_kv: [B, Hk, T, D]; start: [B]."""
+
+    def one(c, n, s):
+        return jax.lax.dynamic_update_slice(c, n, (0, s, 0))
+
+    return jax.vmap(one)(cache_layer, new_kv, start)
+
+
+# ---------------------------------------------------------------------------
+# Jitted entry points
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_flash"), donate_argnums=(3,))
+def prefill(params, cfg: DecoderConfig, tokens, cache, *, use_flash=None):
+    return forward(params, cfg, tokens, cache, use_flash=use_flash)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_flash"), donate_argnums=(3,))
+def decode_step(params, cfg: DecoderConfig, tokens, cache, *, use_flash=None):
+    """One-token decode: tokens [B, 1]. The cache is donated — XLA updates it
+    in place (the TPU equivalent of the reference's by-value cache ownership
+    dance, generator.rs:565-641, without any copies)."""
+    return forward(params, cfg, tokens, cache, use_flash=use_flash)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "sampler", "use_flash"),
+    donate_argnums=(2,),
+)
+def generate_scan(
+    params,
+    cfg: DecoderConfig,
+    cache,
+    last_tokens,  # [B, 1] int32 — first tokens to feed
+    rng,
+    *,
+    n_steps: int,
+    sampler=None,  # rten_tpu.generate.sampler.Sampler (hashable, static)
+    use_flash=None,
+):
+    """Device-side generation: n_steps decode iterations as ONE lax.scan in a
+    single XLA program — no host round trip per token. This is the bulk/bench
+    path; the Python-level Generator remains for streaming consumption.
+
+    Returns (tokens [B, n_steps], cache).
+    """
+    from rten_tpu.generate.sampler import ArgMaxSampler
+
+    sample = (sampler or ArgMaxSampler()).sample
+
+    def body(carry, _):
+        cache, tok, rng = carry
+        logits, cache = forward(params, cfg, tok, cache, use_flash=use_flash)
+        rng, sub = jax.random.split(rng)
+        nxt = sample(sub, logits[:, -1, :])
+        return (cache, nxt[:, None], rng), nxt
+
+    (cache, _, _), toks = jax.lax.scan(
+        body, (cache, last_tokens, rng), None, length=n_steps
+    )
+    return jnp.transpose(toks, (1, 0)), cache

@@ -1,0 +1,106 @@
+"""Mesh construction and sharding policies for the native decoder.
+
+Tensor parallelism follows the Megatron layout mapped to a ("data", "model")
+mesh (scaling-book recipe: annotate shardings, let XLA insert collectives):
+
+- attention q/k/v projections: output (head) dim on "model"  → column-parallel
+- attention output projection: input dim on "model"          → row-parallel
+  (XLA inserts one reduce-scatter/all-reduce per layer here)
+- FFN up/gate: output dim on "model"; FFN down: input dim on "model"
+- embeddings: vocab dim on "model" (gather is local + all-gather of slices)
+- KV cache: batch on "data", kv-heads on "model" — attention runs fully
+  local per chip when kv_heads % model_axis == 0 (GQA co-location)
+
+The reference's only parallelism is intra-op rayon threading
+(src/threading.rs); this module is its multi-chip replacement.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = 1, model: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = data * model
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def decoder_param_specs(params: dict) -> dict:
+    """PartitionSpec pytree matching rten_tpu.models.decoder params."""
+
+    def layer_spec(layer: dict) -> dict:
+        spec = {}
+        for name in layer:
+            if name in ("wq", "wk", "wv", "w_up", "w_gate"):
+                spec[name] = _maybe_quant(layer[name], P(None, "model"), P("model"))
+            elif name in ("wo", "w_down"):
+                spec[name] = _maybe_quant(layer[name], P("model", None), P(None))
+            elif name in ("bq", "bk", "bv", "b_up"):
+                spec[name] = P("model")
+            elif name in ("bo", "b_down"):
+                spec[name] = P(None)
+            else:  # norms
+                spec[name] = jax.tree.map(lambda _: P(None), layer[name])
+        return spec
+
+    spec: dict = {
+        "tok_emb": _maybe_quant(params["tok_emb"], P("model", None), P(None)),
+        "final_norm": jax.tree.map(lambda _: P(None), params["final_norm"]),
+        "layers": [layer_spec(l) for l in params["layers"]],
+    }
+    if "pos_emb" in params:
+        spec["pos_emb"] = P(None, None)
+    if "lm_head" in params:
+        spec["lm_head"] = _maybe_quant(params["lm_head"], P(None, "model"), P("model"))
+    if "lm_head_q" in params:
+        spec["lm_head_q"] = _maybe_quant(
+            params["lm_head_q"], P(None, "model"), P("model")
+        )
+    return spec
+
+
+def _maybe_quant(leaf, dense_spec: P, scale_spec: P):
+    """INT8-packed weights {"q","s"}: shard payload like the dense matrix and
+    scales along the output-channel axis."""
+    if isinstance(leaf, dict):
+        return {"q": dense_spec, "s": scale_spec}
+    return dense_spec
+
+
+def cache_specs(cache: dict | None = None) -> dict:
+    # per-layer k/v: [batch, kv_heads, max_len, head_dim]
+    kv = P("data", "model", None, None)
+    n_layers = len(cache["k"]) if cache else None
+    if n_layers is None:
+        return {"k": kv, "v": kv, "len": P("data")}
+    return {
+        "k": [kv] * n_layers,
+        "v": [kv] * n_layers,
+        "len": P("data"),
+    }
+
+
+def shard_decoder_params(params: dict, mesh: Mesh) -> dict:
+    specs = decoder_param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, P) or not isinstance(x, (dict, list)),
+    )
+
+
+def shard_cache(cache: dict, mesh: Mesh) -> dict:
+    specs = cache_specs(cache)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        cache,
+        specs,
+        is_leaf=lambda x: isinstance(x, P) or not isinstance(x, (dict, list)),
+    )

@@ -1,0 +1,226 @@
+"""Native decoder + generation loop tests (reference behavior:
+rten-generate/src/generator.rs tests; cache-consistency is our equivalent of
+the reference's KV-cache ownership tests)."""
+
+import itertools
+
+import jax
+import numpy as np
+import pytest
+
+from rten_tpu.generate import (
+    ArgMaxSampler,
+    Generator,
+    GeneratorConfig,
+    Metrics,
+    TopKSampler,
+    TopPSampler,
+)
+from rten_tpu.generate.generator import NativeBackend
+from rten_tpu.models import decoder
+
+TINY_GPT = decoder.DecoderConfig(
+    vocab_size=64,
+    n_layers=2,
+    n_heads=2,
+    d_model=32,
+    d_ff=64,
+    max_seq=64,
+    dtype=np.float32,
+)
+TINY_LLAMA = decoder.DecoderConfig(
+    vocab_size=64,
+    n_layers=2,
+    n_heads=4,
+    n_kv_heads=2,
+    d_model=32,
+    d_ff=48,
+    max_seq=64,
+    pos_encoding="rope",
+    norm="rmsnorm",
+    activation="swiglu",
+    tie_embeddings=False,
+    dtype=np.float32,
+)
+
+
+@pytest.fixture(params=[TINY_GPT, TINY_LLAMA], ids=["gpt2", "llama"])
+def model(request):
+    cfg = request.param
+    params = decoder.init_params(jax.random.PRNGKey(0), cfg)
+    return params, cfg
+
+
+def test_cache_matches_full_forward(model):
+    """Prefill+decode through the preallocated cache must equal a plain
+    full-sequence forward — the correctness bar for cache indexing, RoPE
+    offsets and attention masks."""
+    params, cfg = model
+    tokens = np.array([[3, 14, 15, 9, 2, 6]], np.int32)
+
+    full_logits, _ = decoder.forward(params, cfg, tokens, None, use_flash=False)
+
+    cache = decoder.init_cache(cfg, 1, 32)
+    pre_logits, cache = decoder.forward(
+        params, cfg, tokens[:, :4], cache, use_flash=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(pre_logits), np.asarray(full_logits[:, :4]), rtol=2e-3, atol=2e-4
+    )
+    for i in range(4, 6):
+        step_logits, cache = decoder.forward(
+            params, cfg, tokens[:, i : i + 1], cache, use_flash=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]),
+            np.asarray(full_logits[:, i]),
+            rtol=2e-3,
+            atol=2e-4,
+        )
+    assert int(cache["len"][0]) == 6
+
+
+def test_cache_batch_with_different_lengths(model):
+    """Rows of a batch can sit at different cache lengths (continuous
+    batching prerequisite)."""
+    params, cfg = model
+    cache = decoder.init_cache(cfg, 2, 32)
+    # Row 0 gets 5 prompt tokens, row 1 gets 2 (padded prefill, then fix len).
+    t0 = np.array([[5, 6, 7, 8, 9]], np.int32)
+    t1 = np.array([[11, 12]], np.int32)
+
+    c0 = decoder.init_cache(cfg, 1, 32)
+    _, c0 = decoder.forward(params, cfg, t0, c0, use_flash=False)
+    c1 = decoder.init_cache(cfg, 1, 32)
+    _, c1 = decoder.forward(params, cfg, t1, c1, use_flash=False)
+    merged = {
+        "k": [
+            np.concatenate([np.asarray(a), np.asarray(b)], axis=0)
+            for a, b in zip(c0["k"], c1["k"])
+        ],
+        "v": [
+            np.concatenate([np.asarray(a), np.asarray(b)], axis=0)
+            for a, b in zip(c0["v"], c1["v"])
+        ],
+        "len": np.array([5, 2], np.int32),
+    }
+    step = np.array([[20], [21]], np.int32)
+    logits, new_cache = decoder.forward(params, cfg, step, merged, use_flash=False)
+    # Per-row independent checks
+    l0, _ = decoder.forward(params, cfg, np.array([[20]], np.int32), c0, use_flash=False)
+    l1, _ = decoder.forward(params, cfg, np.array([[21]], np.int32), c1, use_flash=False)
+    np.testing.assert_allclose(np.asarray(logits[0]), np.asarray(l0[0]), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(logits[1]), np.asarray(l1[0]), rtol=2e-3, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(new_cache["len"]), [6, 3])
+
+
+def test_int8_quantized_params_run():
+    cfg = decoder.DecoderConfig(
+        vocab_size=512, n_layers=1, n_heads=2, d_model=256, d_ff=512,
+        max_seq=32, dtype=np.float32,
+    )
+    params = decoder.init_params(jax.random.PRNGKey(1), cfg)
+    qparams = decoder.quantize_params_int8(params)
+    # at least the big projections got quantized
+    assert isinstance(qparams["layers"][0]["w_up"], dict)
+    tokens = np.array([[1, 2, 3]], np.int32)
+    lf, _ = decoder.forward(params, cfg, tokens, None, use_flash=False)
+    lq, _ = decoder.forward(qparams, cfg, tokens, None, use_flash=False)
+    # int8 fidelity: logits close but not identical
+    assert np.abs(np.asarray(lf) - np.asarray(lq)).max() < 1.0
+    assert not np.allclose(np.asarray(lf), np.asarray(lq))
+
+
+def test_generator_argmax_deterministic(model):
+    params, cfg = model
+    backend = NativeBackend(params, cfg, batch=1, max_len=64)
+    gen = Generator(backend, GeneratorConfig(max_tokens=8)).with_prompt([1, 2, 3])
+    toks = [int(t[0]) for t in gen]
+    assert len(toks) == 8
+
+    backend2 = NativeBackend(params, cfg, batch=1, max_len=64)
+    gen2 = Generator(backend2, GeneratorConfig(max_tokens=8)).with_prompt([1, 2, 3])
+    toks2 = [int(t[0]) for t in gen2]
+    assert toks == toks2
+
+    # Manual argmax rollout must match.
+    cache = decoder.init_cache(cfg, 1, 64)
+    logits, cache = decoder.forward(
+        params, cfg, np.array([[1, 2, 3]], np.int32), cache
+    )
+    manual = []
+    tok = int(np.argmax(np.asarray(logits[:, -1]), -1)[0])
+    manual.append(tok)
+    for _ in range(7):
+        logits, cache = decoder.forward(
+            params, cfg, np.array([[tok]], np.int32), cache
+        )
+        tok = int(np.argmax(np.asarray(logits[:, -1]), -1)[0])
+        manual.append(tok)
+    assert toks == manual
+
+
+def test_generator_eos_stops(model):
+    params, cfg = model
+    backend = NativeBackend(params, cfg, batch=1, max_len=64)
+    gen = Generator(backend, GeneratorConfig(max_tokens=50)).with_prompt([1, 2])
+    first = next(gen)
+    # Rig EOS to the first emitted token: the next iteration should stop after it.
+    gen.config = GeneratorConfig(max_tokens=50, eos_tokens=(int(first[0]),))
+    remaining = [int(t[0]) for t in gen]
+    # generation stops as soon as an eos token is produced
+    assert len(remaining) < 49
+
+
+def test_generator_append_prompt(model):
+    """Multi-turn: feed more prompt tokens after some generation
+    (reference: generator.rs:474 append_prompt)."""
+    params, cfg = model
+    backend = NativeBackend(params, cfg, batch=1, max_len=64)
+    gen = Generator(backend, GeneratorConfig(max_tokens=100)).with_prompt([1, 2, 3])
+    t1 = next(gen)
+    gen.append_prompt([7, 8])
+    t2 = next(gen)
+    assert t1.shape == t2.shape
+    # prefill 3, then [last_tok, 7, 8] fed together before t2 was sampled
+    assert int(backend.cache["len"][0]) == 6
+
+
+def test_metrics(model):
+    params, cfg = model
+    backend = NativeBackend(params, cfg, batch=1, max_len=64)
+    m = Metrics()
+    gen = (
+        Generator(backend, GeneratorConfig(max_tokens=4))
+        .with_prompt([1, 2, 3])
+        .profile(m)
+    )
+    list(gen)
+    assert len(m.step_times_s) == 4
+    assert m.tokens_per_second() > 0
+    assert "tokens/s" in m.summary()
+
+
+def test_samplers_shapes(rng):
+    import jax.numpy as jnp
+
+    logits = jnp.asarray(rng.standard_normal((2, 100)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    assert ArgMaxSampler().sample(None, logits).shape == (2,)
+    assert TopKSampler(k=10).sample(key, logits).shape == (2,)
+    assert TopPSampler(p=0.9).sample(key, logits).shape == (2,)
+    # argmax = topk with k=1
+    np.testing.assert_array_equal(
+        np.asarray(ArgMaxSampler().sample(None, logits)),
+        np.asarray(TopKSampler(k=1).sample(key, logits)),
+    )
+
+
+def test_top_p_respects_nucleus():
+    import jax.numpy as jnp
+
+    # One dominant token: top-p with small p must always pick it.
+    logits = jnp.asarray(np.array([[10.0, 0.0, 0.0, 0.0]], np.float32))
+    for i in range(10):
+        tok = TopPSampler(p=0.5).sample(jax.random.PRNGKey(i), logits)
+        assert int(tok[0]) == 0
