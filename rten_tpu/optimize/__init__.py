@@ -13,9 +13,13 @@ from __future__ import annotations
 
 from rten_tpu.graph import Graph
 from rten_tpu.optimize.passes import fuse_patterns, propagate_constants
+from rten_tpu.optimize.quantize import fuse_dequant_matmul
 
 
 def optimize_graph(graph: Graph) -> Graph:
+    # Quant fusion first: constant-folding would otherwise "fold"
+    # DequantizeLinear and materialize the f32 weights it exists to avoid.
+    graph = fuse_dequant_matmul(graph)
     graph = propagate_constants(graph)
     graph = fuse_patterns(graph)
     return graph

@@ -19,12 +19,23 @@ from rten_tpu.graph import ConstantNode, Graph, OperatorNode, ValueNode
 from rten_tpu.ops.registry import OpContext, get_op, is_deterministic
 
 
+# Don't fold ops whose constant inputs are huge: folding DequantizeLinear or
+# a weight transpose would materialize (and 4×) the very tensors the
+# quantized path keeps small. The reference folds unconditionally
+# (src/optimize.rs:356) — on TPU, keeping these lazy lets XLA fuse them.
+FOLD_MAX_INPUT_ELEMENTS = 1 << 20
+
+
 def propagate_constants(graph: Graph) -> Graph:
     const_ids = {
         i for i, n in enumerate(graph.nodes) if isinstance(n, ConstantNode)
     }
     # Never fold graph inputs/captures (they are runtime values by definition).
     runtime = set(graph.inputs) | set(graph.captures)
+    # Ops with no remaining consumers (orphans left by fusions) aren't folded.
+    consumed: set[int] = set(graph.outputs)
+    for _, op in graph.operator_nodes():
+        consumed.update(i for i in op.inputs if i is not None)
     ctx = OpContext("eager")
 
     folded: set[int] = set()
@@ -41,6 +52,12 @@ def propagate_constants(graph: Graph) -> Graph:
                 continue
             if any(isinstance(v, Graph) for v in op.attrs.values()):
                 continue  # don't fold control flow
+            if not any(o in consumed for o in op.outputs if o is not None):
+                continue  # orphan (e.g. DequantizeLinear absorbed by fusion)
+            if any(
+                graph.nodes[d].value.size > FOLD_MAX_INPUT_ELEMENTS for d in deps
+            ):
+                continue
             try:
                 args = [
                     None if i is None else graph.nodes[i].value for i in op.inputs
