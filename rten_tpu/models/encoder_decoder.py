@@ -1,0 +1,372 @@
+"""Whisper-class encoder-decoder (BASELINE.json config 4: "Whisper
+encoder-decoder transcription with INT8 weights + INT8 KV-cache").
+
+The reference runs this family from ONNX with per-layer self- AND
+cross-attention caches managed by rten-generate
+(rten-generate/src/generator.rs:59-66 KvCacheData, cross-attention discovery
+:319). TPU-first redesign:
+
+- audio encoder: two strided 1-D convs + GELU + sinusoidal positions +
+  pre-norm transformer, one XLA program per audio chunk
+- decoder: causal self-attention over a preallocated (optionally INT8) KV
+  cache + cross-attention over encoder states whose K/V are projected ONCE
+  per utterance (the reference recomputes them into a cross-KV cache the
+  same way; here it's one compiled `encode` call)
+- INT8 KV cache: K/V quantized per (position, head) with f32 scales on
+  write, dequantized on read — halves decode HBM traffic for long audio
+  (kernels/attention.py loads bf16 after dequant; a fused int8-load Pallas
+  decode path is the serving layer's next optimization)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rten_tpu.kernels import dispatch
+from rten_tpu.kernels.attention import attention_reference, flash_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class EncDecConfig:
+    n_mels: int = 80
+    n_audio_ctx: int = 1500
+    vocab_size: int = 51865
+    d_model: int = 384
+    n_heads: int = 6
+    n_audio_layers: int = 4
+    n_text_layers: int = 4
+    d_ff: int = 1536
+    max_text_ctx: int = 448
+    layer_norm_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+    int8_kv: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+
+WHISPER_TINY = EncDecConfig()
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+
+def _ln(d, dtype):
+    return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+
+def _attn_params(keys, d, dtype, scale=0.02):
+    def dense(shape):
+        return (jax.random.normal(next(keys), shape, jnp.float32) * scale).astype(dtype)
+
+    return {
+        "wq": dense((d, d)), "bq": jnp.zeros((d,), dtype),
+        "wk": dense((d, d)),
+        "wv": dense((d, d)), "bv": jnp.zeros((d,), dtype),
+        "wo": dense((d, d)), "bo": jnp.zeros((d,), dtype),
+    }
+
+
+def _mlp_params(keys, d, ff, dtype, scale=0.02):
+    def dense(shape):
+        return (jax.random.normal(next(keys), shape, jnp.float32) * scale).astype(dtype)
+
+    return {
+        "w_up": dense((d, ff)), "b_up": jnp.zeros((ff,), dtype),
+        "w_down": dense((ff, d)), "b_down": jnp.zeros((d,), dtype),
+    }
+
+
+def init_params(rng: jax.Array, cfg: EncDecConfig = WHISPER_TINY) -> dict:
+    keys = iter(jax.random.split(rng, 16 + 16 * (cfg.n_audio_layers + cfg.n_text_layers)))
+    d = cfg.d_model
+
+    def dense(shape, scale=0.02):
+        return (jax.random.normal(next(keys), shape, jnp.float32) * scale).astype(cfg.dtype)
+
+    enc_layers = []
+    for _ in range(cfg.n_audio_layers):
+        enc_layers.append({
+            "ln1": _ln(d, cfg.dtype),
+            "attn": _attn_params(keys, d, cfg.dtype),
+            "ln2": _ln(d, cfg.dtype),
+            "mlp": _mlp_params(keys, d, cfg.d_ff, cfg.dtype),
+        })
+    dec_layers = []
+    for _ in range(cfg.n_text_layers):
+        dec_layers.append({
+            "ln1": _ln(d, cfg.dtype),
+            "self_attn": _attn_params(keys, d, cfg.dtype),
+            "ln_x": _ln(d, cfg.dtype),
+            "cross_attn": _attn_params(keys, d, cfg.dtype),
+            "ln2": _ln(d, cfg.dtype),
+            "mlp": _mlp_params(keys, d, cfg.d_ff, cfg.dtype),
+        })
+    return {
+        "enc_conv1": dense((d, cfg.n_mels, 3)),  # [out, in, k]
+        "enc_conv1_b": jnp.zeros((d,), cfg.dtype),
+        "enc_conv2": dense((d, d, 3)),
+        "enc_conv2_b": jnp.zeros((d,), cfg.dtype),
+        "enc_layers": enc_layers,
+        "enc_ln_post": _ln(d, cfg.dtype),
+        "tok_emb": dense((cfg.vocab_size, d)),
+        "pos_emb": dense((cfg.max_text_ctx, d)),
+        "dec_layers": dec_layers,
+        "dec_ln": _ln(d, cfg.dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x, p, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.var(xf, -1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return out.astype(x.dtype) * p["scale"] + p["bias"]
+
+
+def _heads(x, n_heads):
+    b, t, d = x.shape
+    return x.reshape(b, t, n_heads, d // n_heads).transpose(0, 2, 1, 3)
+
+
+def _unheads(x):
+    b, h, t, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+
+
+def _sinusoids(length: int, d: int) -> np.ndarray:
+    """Whisper-style sinusoidal positions."""
+    log_timescale = np.log(10000.0) / (d // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(d // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+def _attend(q, k, v, *, causal, q_offset=None, kv_len=None, use_flash=None):
+    if use_flash is None:
+        use_flash = dispatch.on_tpu()
+    fn = flash_attention if use_flash else attention_reference
+    return fn(q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len)
+
+
+# ---------------------------------------------------------------------------
+# INT8 KV quantization (per position+head absmax scales)
+# ---------------------------------------------------------------------------
+
+
+def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """x: [B, H, T, D] → (int8 values, f32 scales [B, H, T, 1])."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scales = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scales), -127, 127).astype(jnp.int8)
+    return q, scales
+
+
+def dequantize_kv(q: jax.Array, scales: jax.Array, dtype) -> jax.Array:
+    return (q.astype(jnp.float32) * scales).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def encode(params: dict, cfg: EncDecConfig, mel: jax.Array) -> jax.Array:
+    """mel: [B, n_mels, T_audio] → encoder states [B, T_ctx, d]."""
+    x = mel.astype(cfg.dtype)
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, params["enc_conv1"].shape, ("NCH", "OIH", "NCH")
+    )
+    x = jax.lax.conv_general_dilated(
+        x, params["enc_conv1"], (1,), [(1, 1)], dimension_numbers=dn,
+        preferred_element_type=x.dtype,
+    ) + params["enc_conv1_b"][None, :, None]
+    x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(cfg.dtype)
+    dn2 = jax.lax.conv_dimension_numbers(
+        x.shape, params["enc_conv2"].shape, ("NCH", "OIH", "NCH")
+    )
+    x = jax.lax.conv_general_dilated(
+        x, params["enc_conv2"], (2,), [(1, 1)], dimension_numbers=dn2,
+        preferred_element_type=x.dtype,
+    ) + params["enc_conv2_b"][None, :, None]
+    x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(cfg.dtype)
+    x = x.transpose(0, 2, 1)  # [B, T, d]
+
+    pos = jnp.asarray(_sinusoids(x.shape[1], cfg.d_model), cfg.dtype)
+    x = x + pos[None]
+    for layer in params["enc_layers"]:
+        xn = _layer_norm(x, layer["ln1"], cfg.layer_norm_eps)
+        a = layer["attn"]
+        q = _heads(dispatch.matmul(xn, a["wq"]) + a["bq"], cfg.n_heads)
+        k = _heads(dispatch.matmul(xn, a["wk"]), cfg.n_heads)
+        v = _heads(dispatch.matmul(xn, a["wv"]) + a["bv"], cfg.n_heads)
+        attn = _attend(q, k, v, causal=False)
+        x = x + dispatch.matmul(_unheads(attn), a["wo"]) + a["bo"]
+        xn = _layer_norm(x, layer["ln2"], cfg.layer_norm_eps)
+        m = layer["mlp"]
+        h = jax.nn.gelu(
+            (dispatch.matmul(xn, m["w_up"]) + m["b_up"]).astype(jnp.float32),
+            approximate=False,
+        ).astype(cfg.dtype)
+        x = x + dispatch.matmul(h, m["w_down"]) + m["b_down"]
+    return _layer_norm(x, params["enc_ln_post"], cfg.layer_norm_eps)
+
+
+# ---------------------------------------------------------------------------
+# Decoder state
+# ---------------------------------------------------------------------------
+
+
+def init_decoder_state(
+    params: dict, cfg: EncDecConfig, enc_states: jax.Array, max_len: int | None = None
+) -> dict:
+    """Precompute cross-attention K/V from encoder states (once per
+    utterance — the reference's encoder-decoder cross-KV cache,
+    generator.rs:59-66) and allocate the self-attention cache."""
+    b = enc_states.shape[0]
+    max_len = max_len or cfg.max_text_ctx
+    h, hd = cfg.n_heads, cfg.head_dim
+    cross_k, cross_v = [], []
+    for layer in params["dec_layers"]:
+        a = layer["cross_attn"]
+        xk = _heads(dispatch.matmul(enc_states, a["wk"]), h)
+        xv = _heads(dispatch.matmul(enc_states, a["wv"]) + a["bv"], h)
+        cross_k.append(xk)
+        cross_v.append(xv)
+
+    kv_shape = (b, h, max_len, hd)
+    state: dict[str, Any] = {
+        "cross_k": cross_k,
+        "cross_v": cross_v,
+        "len": jnp.zeros((b,), jnp.int32),
+    }
+    if cfg.int8_kv:
+        state["self_k"] = [jnp.zeros(kv_shape, jnp.int8) for _ in params["dec_layers"]]
+        state["self_v"] = [jnp.zeros(kv_shape, jnp.int8) for _ in params["dec_layers"]]
+        state["self_k_scale"] = [
+            jnp.zeros((b, h, max_len, 1), jnp.float32) for _ in params["dec_layers"]
+        ]
+        state["self_v_scale"] = [
+            jnp.zeros((b, h, max_len, 1), jnp.float32) for _ in params["dec_layers"]
+        ]
+    else:
+        state["self_k"] = [jnp.zeros(kv_shape, cfg.dtype) for _ in params["dec_layers"]]
+        state["self_v"] = [jnp.zeros(kv_shape, cfg.dtype) for _ in params["dec_layers"]]
+    return state
+
+
+def _update_kv(cache, new, start):
+    def one(c, n, s):
+        return jax.lax.dynamic_update_slice(c, n, (0, s, 0))
+
+    return jax.vmap(one)(cache, new, start)
+
+
+def decode(
+    params: dict,
+    cfg: EncDecConfig,
+    tokens: jax.Array,  # [B, T]
+    state: dict,
+    *,
+    use_flash: bool | None = None,
+) -> tuple[jax.Array, dict]:
+    """Decoder forward appending ``tokens`` at state["len"]; returns
+    (logits [B, T, vocab], new state)."""
+    b, t = tokens.shape
+    h = cfg.n_heads
+    start = state["len"]
+    positions = start[:, None] + jnp.arange(t)[None, :]
+    x = jnp.take(params["tok_emb"], tokens, axis=0) + jnp.take(
+        params["pos_emb"], positions, axis=0
+    )
+    x = x.astype(cfg.dtype)
+
+    new_state = dict(state)
+    new_state["self_k"] = list(state["self_k"])
+    new_state["self_v"] = list(state["self_v"])
+    if cfg.int8_kv:
+        new_state["self_k_scale"] = list(state["self_k_scale"])
+        new_state["self_v_scale"] = list(state["self_v_scale"])
+
+    for li, layer in enumerate(params["dec_layers"]):
+        a = layer["self_attn"]
+        xn = _layer_norm(x, layer["ln1"], cfg.layer_norm_eps)
+        q = _heads(dispatch.matmul(xn, a["wq"]) + a["bq"], h)
+        k = _heads(dispatch.matmul(xn, a["wk"]), h)
+        v = _heads(dispatch.matmul(xn, a["wv"]) + a["bv"], h)
+
+        if cfg.int8_kv:
+            k_q, k_s = quantize_kv(k)
+            v_q, v_s = quantize_kv(v)
+            new_state["self_k"][li] = _update_kv(state["self_k"][li], k_q, start)
+            new_state["self_v"][li] = _update_kv(state["self_v"][li], v_q, start)
+            new_state["self_k_scale"][li] = _update_kv(
+                state["self_k_scale"][li], k_s, start
+            )
+            new_state["self_v_scale"][li] = _update_kv(
+                state["self_v_scale"][li], v_s, start
+            )
+            k_cache = dequantize_kv(
+                new_state["self_k"][li], new_state["self_k_scale"][li], cfg.dtype
+            )
+            v_cache = dequantize_kv(
+                new_state["self_v"][li], new_state["self_v_scale"][li], cfg.dtype
+            )
+        else:
+            k_cache = _update_kv(state["self_k"][li], k, start)
+            v_cache = _update_kv(state["self_v"][li], v, start)
+            new_state["self_k"][li] = k_cache
+            new_state["self_v"][li] = v_cache
+
+        attn = _attend(
+            q, k_cache, v_cache,
+            causal=True, q_offset=start, kv_len=start + t, use_flash=use_flash,
+        )
+        x = x + dispatch.matmul(_unheads(attn), a["wo"]) + a["bo"]
+
+        # Cross attention over precomputed encoder K/V (full length, no mask).
+        c = layer["cross_attn"]
+        xn = _layer_norm(x, layer["ln_x"], cfg.layer_norm_eps)
+        qx = _heads(dispatch.matmul(xn, c["wq"]) + c["bq"], h)
+        attn_x = _attend(
+            qx, state["cross_k"][li], state["cross_v"][li],
+            causal=False, use_flash=use_flash,
+        )
+        x = x + dispatch.matmul(_unheads(attn_x), c["wo"]) + c["bo"]
+
+        m = layer["mlp"]
+        xn = _layer_norm(x, layer["ln2"], cfg.layer_norm_eps)
+        hmid = jax.nn.gelu(
+            (dispatch.matmul(xn, m["w_up"]) + m["b_up"]).astype(jnp.float32),
+            approximate=False,
+        ).astype(cfg.dtype)
+        x = x + dispatch.matmul(hmid, m["w_down"]) + m["b_down"]
+
+    x = _layer_norm(x, params["dec_ln"], cfg.layer_norm_eps)
+    logits = dispatch.matmul(x, params["tok_emb"].T)
+    new_state["len"] = start + t
+    return logits.astype(jnp.float32), new_state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_jit(params, cfg: EncDecConfig, mel):
+    return encode(params, cfg, mel)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_flash"), donate_argnums=(3,))
+def decode_step(params, cfg: EncDecConfig, tokens, state, *, use_flash=None):
+    return decode(params, cfg, tokens, state, use_flash=use_flash)

@@ -1,0 +1,136 @@
+"""Whisper-class encoder-decoder tests (BASELINE config 4): cache
+consistency, cross-attention KV reuse, INT8 KV fidelity."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from rten_tpu.models import encoder_decoder as ed
+
+TINY = ed.EncDecConfig(
+    n_mels=8,
+    vocab_size=64,
+    d_model=32,
+    n_heads=2,
+    n_audio_layers=2,
+    n_text_layers=2,
+    d_ff=64,
+    max_text_ctx=32,
+    dtype=np.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = ed.init_params(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, 8, 40)).astype(np.float32)
+    enc = ed.encode(params, TINY, mel)
+    return params, mel, enc
+
+
+def test_encoder_shape(setup):
+    params, mel, enc = setup
+    # conv2 stride 2: T 40 → 20
+    assert np.asarray(enc).shape == (1, 20, 32)
+    assert np.isfinite(np.asarray(enc)).all()
+
+
+def test_decode_incremental_matches_batch(setup):
+    """Feeding tokens one-by-one through the self-KV cache must equal feeding
+    them all at once."""
+    params, mel, enc = setup
+    tokens = np.array([[5, 9, 2, 7]], np.int32)
+
+    state_a = ed.init_decoder_state(params, TINY, enc)
+    logits_all, _ = ed.decode(params, TINY, tokens, state_a, use_flash=False)
+
+    state_b = ed.init_decoder_state(params, TINY, enc)
+    outs = []
+    for i in range(4):
+        step_logits, state_b = ed.decode(
+            params, TINY, tokens[:, i : i + 1], state_b, use_flash=False
+        )
+        outs.append(np.asarray(step_logits[:, 0]))
+    np.testing.assert_allclose(
+        np.stack(outs, axis=1), np.asarray(logits_all), rtol=2e-3, atol=2e-4
+    )
+
+
+def test_cross_attention_depends_on_audio(setup):
+    params, mel, enc = setup
+    rng = np.random.default_rng(7)
+    mel2 = rng.standard_normal(mel.shape).astype(np.float32)
+    enc2 = ed.encode(params, TINY, mel2)
+    tokens = np.array([[1, 2]], np.int32)
+    s1 = ed.init_decoder_state(params, TINY, enc)
+    s2 = ed.init_decoder_state(params, TINY, enc2)
+    l1, _ = ed.decode(params, TINY, tokens, s1, use_flash=False)
+    l2, _ = ed.decode(params, TINY, tokens, s2, use_flash=False)
+    assert not np.allclose(np.asarray(l1), np.asarray(l2))
+
+
+def test_int8_kv_close_to_fp(setup):
+    params, mel, enc = setup
+    cfg_q = dataclasses.replace(TINY, int8_kv=True)
+    tokens = np.array([[5, 9, 2, 7, 1, 3]], np.int32)
+
+    s_fp = ed.init_decoder_state(params, TINY, enc)
+    l_fp, _ = ed.decode(params, TINY, tokens, s_fp, use_flash=False)
+
+    s_q = ed.init_decoder_state(params, cfg_q, enc)
+    assert s_q["self_k"][0].dtype == np.int8
+    l_q, s_q = ed.decode(params, cfg_q, tokens, s_q, use_flash=False)
+
+    # INT8 KV fidelity: logits close, argmax identical
+    np.testing.assert_allclose(np.asarray(l_q), np.asarray(l_fp), rtol=0.05, atol=0.05)
+    np.testing.assert_array_equal(
+        np.asarray(l_q).argmax(-1), np.asarray(l_fp).argmax(-1)
+    )
+
+
+def test_int8_kv_incremental_consistency(setup):
+    params, mel, enc = setup
+    cfg_q = dataclasses.replace(TINY, int8_kv=True)
+    tokens = np.array([[5, 9, 2]], np.int32)
+    s_all = ed.init_decoder_state(params, cfg_q, enc)
+    l_all, _ = ed.decode(params, cfg_q, tokens, s_all, use_flash=False)
+    s_inc = ed.init_decoder_state(params, cfg_q, enc)
+    outs = []
+    for i in range(3):
+        l, s_inc = ed.decode(params, cfg_q, tokens[:, i : i + 1], s_inc, use_flash=False)
+        outs.append(np.asarray(l[:, 0]))
+    np.testing.assert_allclose(
+        np.stack(outs, 1), np.asarray(l_all), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_quantize_dequantize_kv_round_trip(rng):
+    x = np.asarray(rng.standard_normal((1, 2, 4, 8)), np.float32)
+    q, s = ed.quantize_kv(x)
+    assert np.asarray(q).dtype == np.int8
+    back = np.asarray(ed.dequantize_kv(q, s, np.float32))
+    np.testing.assert_allclose(back, x, atol=np.abs(x).max() / 127 + 1e-6)
+
+
+def test_generation_loop_with_generator(setup):
+    """Full transcription-style loop through the Generator API."""
+    from rten_tpu.generate import Generator, GeneratorConfig
+
+    params, mel, enc = setup
+
+    class EncDecBackend:
+        def __init__(self):
+            self.state = ed.init_decoder_state(params, TINY, enc)
+
+        def prefill(self, tokens):
+            logits, self.state = ed.decode(params, TINY, tokens, self.state, use_flash=False)
+            return logits[:, -1, :]
+
+        decode = prefill
+
+    gen = Generator(EncDecBackend(), GeneratorConfig(max_tokens=5)).with_prompt([1])
+    toks = [int(t[0]) for t in gen]
+    assert len(toks) == 5
