@@ -1,0 +1,95 @@
+"""Continuous-batching engine tests. The correctness bar: a request served
+concurrently with others must produce EXACTLY the same tokens as the same
+prompt generated alone (greedy) — batching must be invisible."""
+
+import jax
+import numpy as np
+
+from rten_tpu.generate import Generator, GeneratorConfig
+from rten_tpu.generate.generator import NativeBackend
+from rten_tpu.models import decoder
+from rten_tpu.serve import Request, ServingEngine
+
+CFG = decoder.DecoderConfig(
+    vocab_size=64,
+    n_layers=2,
+    n_heads=2,
+    d_model=32,
+    d_ff=64,
+    max_seq=128,
+    dtype=np.float32,
+)
+PARAMS = decoder.init_params(jax.random.PRNGKey(0), CFG)
+
+
+def solo_generate(prompt, n):
+    backend = NativeBackend(PARAMS, CFG, batch=1, max_len=128)
+    gen = Generator(backend, GeneratorConfig(max_tokens=n)).with_prompt(prompt)
+    return [int(t[0]) for t in gen]
+
+
+def test_single_request_matches_solo():
+    prompt = [3, 14, 15]
+    engine = ServingEngine(PARAMS, CFG, max_batch=4, max_len=128)
+    req = engine.submit(Request(prompt=prompt, max_new_tokens=6))
+    engine.run()
+    assert req.finished
+    assert req.output == solo_generate(prompt, 6)
+
+
+def test_concurrent_requests_match_solo():
+    prompts = [[1, 2, 3], [7, 8], [11, 12, 13, 14], [5]]
+    engine = ServingEngine(PARAMS, CFG, max_batch=4, max_len=128)
+    reqs = [engine.submit(Request(prompt=p, max_new_tokens=5)) for p in prompts]
+    engine.run()
+    for p, r in zip(prompts, reqs):
+        assert r.output == solo_generate(p, 5), f"prompt {p}"
+
+
+def test_more_requests_than_slots():
+    """Queued requests are admitted as slots free up (continuous batching)."""
+    prompts = [[i + 1, i + 2] for i in range(6)]
+    engine = ServingEngine(PARAMS, CFG, max_batch=2, max_len=128)
+    reqs = [
+        engine.submit(Request(prompt=p, max_new_tokens=3 + (i % 3)))
+        for i, p in enumerate(prompts)
+    ]
+    done = engine.run()
+    assert len(done) == 6
+    for i, (p, r) in enumerate(zip(prompts, reqs)):
+        assert r.output == solo_generate(p, 3 + (i % 3)), f"prompt {p}"
+
+
+def test_eos_stops_request():
+    prompt = [1, 2, 3]
+    solo = solo_generate(prompt, 8)
+    eos = solo[2]
+    engine = ServingEngine(PARAMS, CFG, max_batch=2, max_len=128)
+    req = engine.submit(Request(prompt=prompt, max_new_tokens=8, eos_tokens=(eos,)))
+    engine.run()
+    # Generation stops at the FIRST occurrence of the eos token.
+    expected = solo[: solo.index(eos) + 1]
+    assert req.output == expected
+    assert req.finished
+
+
+def test_streaming_callback():
+    seen = []
+    engine = ServingEngine(PARAMS, CFG, max_batch=2, max_len=128)
+    req = engine.submit(
+        Request(prompt=[1, 2], max_new_tokens=4, on_token=seen.append)
+    )
+    engine.run()
+    assert seen == req.output
+
+
+def test_slot_reuse_no_leakage():
+    """A slot freed by one request must not contaminate the next request
+    that lands in it."""
+    engine = ServingEngine(PARAMS, CFG, max_batch=1, max_len=128)
+    r1 = engine.submit(Request(prompt=[9, 9, 9, 9, 9], max_new_tokens=4))
+    engine.run()
+    r2 = engine.submit(Request(prompt=[1, 2], max_new_tokens=4))
+    engine.run()
+    assert r2.output == solo_generate([1, 2], 4)
+    assert r1.output == solo_generate([9, 9, 9, 9, 9], 4)
