@@ -59,6 +59,18 @@ class CtcDecoder:
         return CtcHypothesis(steps, score)
 
     def decode_beam(self, probs: np.ndarray, beam_size: int = 10) -> CtcHypothesis:
+        lp = self._log_probs(probs)
+        try:
+            from rten_tpu.native.bindings import ctc_beam_search_native
+
+            native = ctc_beam_search_native(
+                lp.astype(np.float32), beam_size, self.blank
+            )
+        except Exception:
+            native = None
+        if native is not None:
+            labels, times, score = native
+            return CtcHypothesis(list(zip(labels, times)), score)
         return self.decode_beam_nbest(probs, beam_size, 1)[0]
 
     def decode_beam_nbest(
@@ -69,20 +81,26 @@ class CtcDecoder:
         lp = self._log_probs(probs)
         n_steps, n_classes = lp.shape
 
-        # prefix (tuple of (label, t)) → [p_blank, p_non_blank] in log domain
-        beams: dict[tuple, list[float]] = {(): [0.0, -math.inf]}
+        # Prefixes are keyed on the LABEL sequence only — paths that emit the
+        # same labels at different times are the same hypothesis and their
+        # probability mass must be summed. First-emission timestamps ride
+        # along as metadata. State: labels → [p_blank, p_non_blank, times].
+        beams: dict[tuple[int, ...], list] = {(): [0.0, -math.inf, ()]}
 
         for t in range(n_steps):
-            next_beams: dict[tuple, list[float]] = {}
+            next_beams: dict[tuple[int, ...], list] = {}
 
-            def add(prefix, pb, pnb):
-                cur = next_beams.setdefault(prefix, [-math.inf, -math.inf])
-                cur[0] = _logaddexp(cur[0], pb)
-                cur[1] = _logaddexp(cur[1], pnb)
+            def add(labels, pb, pnb, times):
+                cur = next_beams.get(labels)
+                if cur is None:
+                    next_beams[labels] = [pb, pnb, times]
+                else:
+                    cur[0] = _logaddexp(cur[0], pb)
+                    cur[1] = _logaddexp(cur[1], pnb)
 
             # Prune classes: consider only the top candidates this step.
             top = np.argsort(-lp[t])[: max(beam_size, 8)]
-            for prefix, (pb, pnb) in beams.items():
+            for labels, (pb, pnb, times) in beams.items():
                 total = _logaddexp(pb, pnb)
                 for c in top:
                     c = int(c)
@@ -90,13 +108,13 @@ class CtcDecoder:
                     if p == -math.inf:
                         continue
                     if c == self.blank:
-                        add(prefix, total + p, -math.inf)
-                    elif prefix and prefix[-1][0] == c:
-                        # repeat: extends the non-blank mass only after a blank
-                        add(prefix, -math.inf, pnb + p)
-                        add(prefix + ((c, t),), -math.inf, pb + p)
+                        add(labels, total + p, -math.inf, times)
+                    elif labels and labels[-1] == c:
+                        # repeat: extends only after a blank
+                        add(labels, -math.inf, pnb + p, times)
+                        add(labels + (c,), -math.inf, pb + p, times + (t,))
                     else:
-                        add(prefix + ((c, t),), -math.inf, total + p)
+                        add(labels + (c,), -math.inf, total + p, times + (t,))
 
             ranked = sorted(
                 next_beams.items(),
@@ -105,8 +123,8 @@ class CtcDecoder:
             beams = dict(ranked[:beam_size])
 
         out = [
-            CtcHypothesis(list(prefix), _logaddexp(pb, pnb))
-            for prefix, (pb, pnb) in beams.items()
+            CtcHypothesis(list(zip(labels, times)), _logaddexp(pb, pnb))
+            for labels, (pb, pnb, times) in beams.items()
         ]
         out.sort(key=lambda h: -h.log_prob)
         return out[:n_best]

@@ -17,6 +17,16 @@ def find_contours(mask: np.ndarray) -> list[Polygon]:
     """Outer borders of connected components in a binary mask, as polygons of
     (y, x) pixel points in traversal order."""
     mask = np.asarray(mask) != 0
+    try:
+        from rten_tpu.native.bindings import find_contours_native
+
+        native = find_contours_native(mask)
+    except Exception:
+        native = None
+    if native is not None:
+        return [
+            Polygon([Point(float(y), float(x)) for y, x in pts]) for pts in native
+        ]
     h, w = mask.shape
     visited = np.zeros_like(mask, dtype=bool)
     contours: list[Polygon] = []

@@ -104,11 +104,71 @@ class ByteLevelBPE(SubwordModel):
         self.unk_token = unk_token
         self.end_of_word_suffix = end_of_word_suffix
         self._cache: dict[str, list[str]] = {}
+        self._native = None
+        self._native_tried = False
+
+    def _get_native(self):
+        """Lazy C++ merge-loop (rten_tpu.native); pieces are interned to int
+        ids so the hot loop runs without Python string hashing."""
+        if self._native_tried:
+            return self._native
+        self._native_tried = True
+        try:
+            from rten_tpu.native.bindings import NativeBpe, available
+
+            if not available():
+                return None
+            pid: dict[str, int] = {}
+
+            def intern(s: str) -> int:
+                if s not in pid:
+                    pid[s] = len(pid)
+                return pid[s]
+
+            left, right, merged, ranks = [], [], [], []
+            for (l, r), rank in self.ranks.items():
+                left.append(intern(l))
+                right.append(intern(r))
+                merged.append(intern(l + r))
+                ranks.append(rank)
+            import numpy as np
+
+            self._native = (
+                NativeBpe(
+                    np.asarray(left), np.asarray(right),
+                    np.asarray(merged), np.asarray(ranks),
+                ),
+                pid,
+                {v: k for k, v in pid.items()},
+            )
+        except Exception:
+            self._native = None
+        return self._native
 
     def _bpe(self, token: str) -> list[str]:
         cached = self._cache.get(token)
         if cached is not None:
             return cached
+        native = self._get_native()
+        if native is not None and not self.end_of_word_suffix:
+            import numpy as np
+
+            bpe, pid, rev = native
+            ids = []
+            for c in token:
+                i = pid.get(c)
+                if i is None:
+                    # Unseen unit: give it a fresh id (it can never merge —
+                    # it appears in no merge rule).
+                    i = len(pid)
+                    pid[c] = i
+                    rev[i] = c
+                ids.append(i)
+            out_ids = bpe.apply(np.asarray(ids, np.int32))
+            parts = [rev[int(i)] for i in out_ids]
+            if len(self._cache) < (1 << 16):
+                self._cache[token] = parts
+            return parts
         parts = list(token)
         if self.end_of_word_suffix and parts:
             parts[-1] = parts[-1] + self.end_of_word_suffix
