@@ -12,7 +12,11 @@ recognition and quantized-subgraph → fused Pallas dequant-matmul.
 from __future__ import annotations
 
 from rten_tpu.graph import Graph
-from rten_tpu.optimize.passes import fuse_patterns, propagate_constants
+from rten_tpu.optimize.passes import (
+    fuse_patterns,
+    propagate_constants,
+    sweep_dead_constants,
+)
 from rten_tpu.optimize.quantize import fuse_dequant_matmul
 
 
@@ -22,4 +26,5 @@ def optimize_graph(graph: Graph) -> Graph:
     graph = fuse_dequant_matmul(graph)
     graph = propagate_constants(graph)
     graph = fuse_patterns(graph)
+    graph = sweep_dead_constants(graph)
     return graph

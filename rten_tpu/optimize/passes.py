@@ -85,6 +85,28 @@ def propagate_constants(graph: Graph) -> Graph:
     return graph
 
 
+def sweep_dead_constants(graph: Graph) -> Graph:
+    """Free constants with no remaining consumers (weights orphaned by the
+    quant rewrite): the node becomes a ValueNode placeholder so ids stay
+    stable but the array memory is released. TPU analog of the reference's
+    buffer reclamation (it keeps the whole mmap alive instead,
+    src/constant_storage.rs — we can't afford 4× dead f32 weights)."""
+    from rten_tpu.graph import ValueNode, subgraphs_of
+
+    used: set[int] = set(graph.outputs) | set(graph.inputs) | set(graph.captures)
+    for _, op in graph.operator_nodes():
+        used.update(i for i in op.inputs if i is not None)
+        for sub in subgraphs_of(op):
+            for cap in sub.captures:
+                outer = graph.get_node_id(sub.node_name(cap))
+                if outer is not None:
+                    used.add(outer)
+    for i, node in enumerate(graph.nodes):
+        if isinstance(node, ConstantNode) and i not in used:
+            graph.nodes[i] = ValueNode(node.name, None)
+    return graph
+
+
 def _producer_map(graph: Graph) -> dict[int, int]:
     return graph.producer_of()
 
@@ -110,6 +132,7 @@ def _single_consumer(graph: Graph) -> dict[int, int]:
 def fuse_patterns(graph: Graph) -> Graph:
     graph = _fuse_silu(graph)
     graph = _fuse_gelu(graph)
+    graph = _fuse_layer_norm(graph)
     return graph
 
 
@@ -139,6 +162,81 @@ def _fuse_silu(graph: Graph) -> Graph:
         mul.op_type = "Silu"
         mul.attrs = {}
         mul.inputs = [x]
+    return graph
+
+
+def _fuse_layer_norm(graph: Graph) -> Graph:
+    """Recognize the primitive-op LayerNorm subgraph ONNX exporters emit for
+    pre-opset-17 models and rewrite to one LayerNormalization op
+    (reference: src/optimize.rs:482 fuse_layer_norm):
+
+        y = (x - mean(x)) / sqrt(mean((x - mean(x))²) + eps) [* scale] [+ bias]
+    """
+    from rten_tpu.optimize.pattern_matcher import Const, Op, Sym, match
+
+    x = Sym("x")
+    mean = Op("ReduceMean", (x,))
+    d = Op("Sub", (x, mean))
+    denom = lambda var: Op("Sqrt", (Op("Add", (var, Const(name="eps"))),))
+    patterns = [
+        Op("Div", (d, denom(Op("ReduceMean", (Op("Pow", (d, Const(2.0))),))))),
+        Op("Div", (d, denom(Op("ReduceMean", (Op("Mul", (d, d)),))))),
+    ]
+
+    sole = _single_consumer(graph)
+    for div_id, div in list(graph.operator_nodes()):
+        if div.op_type != "Div" or not div.outputs or div.outputs[0] is None:
+            continue
+        m = None
+        for pat in patterns:
+            m = match(graph, div.outputs[0], pat)
+            if m:
+                break
+        if not m:
+            continue
+        # Both ReduceMeans must normalize the trailing axis with keepdims.
+        rm = [
+            graph.nodes[i]
+            for i in m["__ops__"]
+            if isinstance(graph.nodes[i], OperatorNode)
+            and graph.nodes[i].op_type == "ReduceMean"
+        ]
+        if not all(
+            o.attrs.get("axes") in ([-1],) and o.attrs.get("keep_dims", True)
+            for o in rm
+        ):
+            continue
+        eps = float(np.asarray(graph.nodes[m["eps"]].value).reshape(()))
+        x_id = m["x"]
+
+        # Optional affine tail: Mul(·, scale) then Add(·, bias).
+        final_id, final = div_id, div
+        scale_id = bias_id = None
+        nxt = sole.get(final.outputs[0])
+        if nxt is not None:
+            op2 = graph.nodes[nxt]
+            if isinstance(op2, OperatorNode) and op2.op_type == "Mul":
+                other = [i for i in op2.inputs if i != final.outputs[0]]
+                if other and isinstance(graph.nodes[other[0]], ConstantNode):
+                    scale_id, final_id, final = other[0], nxt, op2
+                    nxt2 = sole.get(final.outputs[0])
+                    if nxt2 is not None:
+                        op3 = graph.nodes[nxt2]
+                        if isinstance(op3, OperatorNode) and op3.op_type == "Add":
+                            other2 = [i for i in op3.inputs if i != final.outputs[0]]
+                            if other2 and isinstance(graph.nodes[other2[0]], ConstantNode):
+                                bias_id, final_id, final = other2[0], nxt2, op3
+        if scale_id is None:
+            x_node = graph.nodes[x_id]
+            width = None
+            if isinstance(x_node, ConstantNode):
+                width = x_node.value.shape[-1]
+            if width is None:
+                continue  # can't synthesize a scale of unknown width
+            scale_id = graph.add_constant("ln_scale_ones", np.ones(width, np.float32))
+        final.op_type = "LayerNormalization"
+        final.attrs = {"axis": -1, "epsilon": eps}
+        final.inputs = [x_id, scale_id] + ([bias_id] if bias_id is not None else [])
     return graph
 
 
