@@ -33,14 +33,14 @@ def main() -> None:
 
     batch = 1
     prompt_len = 64
-    n_decode = 128
+    n_short, n_long = 64, 512
 
     rng = np.random.default_rng(0)
     prompt = jnp.asarray(
         rng.integers(0, cfg.vocab_size, (batch, prompt_len)).astype(np.int32)
     )
 
-    def run_once(key):
+    def run_once(key, n_decode):
         cache = decoder.init_cache(cfg, batch, cfg.max_seq)
         logits, cache = decoder.prefill(params, cfg, prompt, cache)
         first = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
@@ -49,32 +49,55 @@ def main() -> None:
         )
         return toks
 
-    # Warmup/compile, then timed runs — the whole decode loop is one XLA
-    # program (lax.scan), so there is no per-token host round trip. The TPU
-    # is reached through a shared tunnel with high run-to-run variance, so
-    # report the MINIMUM over several runs (closest to true device time).
+    # Warmup/compile, then timed runs. The decode loop is one XLA program
+    # (lax.scan) — no per-token host round trip — but each program LAUNCH
+    # through the shared TPU tunnel costs tens of ms with high variance. The
+    # device-side step time is therefore measured as the marginal cost of
+    # extra decode steps: slope between a short and a long scan (launch
+    # overhead and prefill cancel), min over several runs each.
     t0 = time.perf_counter()
-    jax.block_until_ready(run_once(0))
+    jax.block_until_ready(run_once(0, n_short))
+    jax.block_until_ready(run_once(0, n_long))
     warmup_s = time.perf_counter() - t0
 
     n_runs = 8
-    times = []
-    for i in range(n_runs):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run_once(i + 1))
-        times.append(time.perf_counter() - t0)
-    wall = sum(times)
 
-    n_tokens = n_runs * n_decode * batch
-    step_s = min(times) / n_decode
+    def tmin(n_decode):
+        times = []
+        for i in range(n_runs):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run_once(i + 1, n_decode))
+            times.append(time.perf_counter() - t0)
+        return min(times), sum(times)
+
+    t_short, wall_s_ = tmin(n_short)
+    t_long, wall_l = tmin(n_long)
+    wall = wall_s_ + wall_l
+
+    n_tokens = n_runs * (n_short + n_long) * batch
+    step_s = (t_long - t_short) / (n_long - n_short)
     tok_s = batch / step_s
 
-    # Roofline: bytes read per decoded token (batch 1):
-    #   int8 weights once + bf16 KV prefix per layer.
-    weight_bytes = 0
-    for leaf in jax.tree.leaves(params):
-        weight_bytes += leaf.size * leaf.dtype.itemsize
-    kv_prefix = prompt_len + n_decode // 2
+    # Roofline: bytes the decode step actually READS per token (batch 1).
+    # Embedding tables are gathered (one row), not streamed — they don't
+    # count; every quantized projection matrix + its scales is streamed in
+    # full; the KV cache read is the valid prefix (prefix-bounded decode
+    # attention kernel), averaged over the run.
+    def step_bytes(node):
+        total = 0
+        if isinstance(node, dict):
+            if set(node) == {"q", "s"}:
+                return node["q"].size + node["s"].size * 4
+            return sum(
+                step_bytes(v) for k, v in node.items() if k not in ("tok_emb", "pos_emb")
+            )
+        if isinstance(node, list):
+            return sum(step_bytes(v) for v in node)
+        return node.size * node.dtype.itemsize  # norm scales/biases etc.
+
+    weight_bytes = step_bytes(params)
+    kv_prefix = prompt_len + n_long // 2  # average valid length
+    kv_prefix = -(-kv_prefix // 256) * 256  # kernel reads whole 256-blocks
     kv_bytes = (
         2 * cfg.n_layers * cfg.kv_heads * kv_prefix * cfg.head_dim * 2
     )  # k+v, bf16

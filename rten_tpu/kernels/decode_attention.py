@@ -1,0 +1,255 @@
+"""Decode attention (Pallas TPU): one query token against a preallocated KV
+cache, reading ONLY the valid prefix from HBM.
+
+The reference's decode step re-runs the whole ONNX attention subgraph over a
+concat-grown cache every token (rten-generate/src/generator.rs:511-651,
+SURVEY.md §5 "attention itself is unfused"). The TPU-first replacement keeps
+the cache preallocated at max_seq and makes attention cost proportional to
+the *actual* sequence length: the kernel keeps K/V in HBM (memory_space=ANY)
+and issues its own double-buffered async DMAs for ceil(kv_len/block) chunks,
+skipping the untouched tail of the cache entirely — a BlockSpec grid would
+prefetch every block of max_seq regardless of kv_len.
+
+Two layout decisions keep it DMA-efficient at decode sizes:
+
+- Each chunk spans ALL KV heads ([Hk, rows, 128] strided DMA, one start/wait
+  pair per chunk) instead of a grid cell per head — per-token caches are only
+  a few MB, so a per-head grid would expose DMA latency 12× per layer.
+- Mosaic DMA slices must be 128-lane aligned but head_dim is typically 64,
+  so the cache is viewed as [B, Hk, S·D/128, 128] (a free reshape of
+  contiguous memory): each 128-lane row packs f = 128/D consecutive tokens.
+  The kernel scores the f token sub-columns separately and runs one joint
+  online softmax over them — column order inside a block doesn't change
+  softmax.
+
+Softmax statistics and the output accumulator are fori_loop carries, f32
+throughout, [Hk, Gp, ·] batched over heads (GQA query heads of a group ride
+along as rows Gp of their KV head's q tile).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+_LANES = 128
+
+
+def _decode_attn_kernel(
+    # scalar prefetch
+    kv_len_ref,
+    # inputs
+    q_ref,  # [1, Hk, Gp, D] VMEM
+    k_hbm,  # [B, Hk, S*D/128, 128] ANY (stays in HBM)
+    v_hbm,
+    # outputs
+    o_ref,  # [1, Hk, Gp, D] VMEM
+    # scratch
+    k_buf,  # [2, Hk, rows_per_block, 128] VMEM double buffer
+    v_buf,
+    sem,  # DMA semaphores [2, 2]
+    *,
+    block_s: int,
+    rows_per_block: int,
+    d: int,
+    sm_scale: float,
+):
+    b = pl.program_id(0)
+    length = kv_len_ref[b]
+    n_blocks = pl.cdiv(length, block_s)
+    f = _LANES // d  # tokens packed per 128-lane buffer row
+    hk = q_ref.shape[1]
+    gp = q_ref.shape[2]
+
+    def dma(buf_slot, blk_idx):
+        row0 = blk_idx * rows_per_block
+        kc = pltpu.make_async_copy(
+            k_hbm.at[b, :, pl.ds(row0, rows_per_block), :],
+            k_buf.at[buf_slot],
+            sem.at[buf_slot, 0],
+        )
+        vc = pltpu.make_async_copy(
+            v_hbm.at[b, :, pl.ds(row0, rows_per_block), :],
+            v_buf.at[buf_slot],
+            sem.at[buf_slot, 1],
+        )
+        return kc, vc
+
+    kc0, vc0 = dma(0, 0)
+    kc0.start()
+    vc0.start()
+
+    q = q_ref[0].astype(jnp.float32)  # [Hk, Gp, D]
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        slot = jax.lax.rem(i, 2)
+        next_slot = jax.lax.rem(i + 1, 2)
+
+        # Prefetch the next chunk while this one computes.
+        @pl.when(i + 1 < n_blocks)
+        def _prefetch():
+            kn, vn = dma(next_slot, i + 1)
+            kn.start()
+            vn.start()
+
+        kw, vw = dma(slot, i)
+        kw.wait()
+        k = k_buf[slot].astype(jnp.float32)  # [Hk, rpb, 128]
+
+        # Scores per packed sub-column j: token index = i*block_s + r*f + j.
+        base = i * block_s
+        row_tok = (
+            jax.lax.broadcasted_iota(jnp.int32, (hk, gp, rows_per_block), 2) * f
+        )
+        s_parts = []
+        for j in range(f):
+            kj = k[:, :, j * d : (j + 1) * d]  # [Hk, rpb, D]
+            s = jax.lax.dot_general(
+                q,
+                kj,
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [Hk, Gp, rpb]
+            if sm_scale != 1.0:
+                s = s * sm_scale
+            s = jnp.where(base + row_tok + j < length, s, DEFAULT_MASK_VALUE)
+            s_parts.append(s)
+
+        m_curr = s_parts[0].max(axis=2, keepdims=True)
+        for s in s_parts[1:]:
+            m_curr = jnp.maximum(m_curr, s.max(axis=2, keepdims=True))
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+
+        vw.wait()
+        v = v_buf[slot].astype(jnp.float32)  # [Hk, rpb, 128]
+
+        l_curr = jnp.zeros_like(l_prev)
+        pv = jnp.zeros_like(acc)
+        for j, s in enumerate(s_parts):
+            p = jnp.exp(s - m_next)  # [Hk, Gp, rpb]
+            l_curr = l_curr + jnp.sum(p, axis=2, keepdims=True)
+            pv = pv + jax.lax.dot_general(
+                p,
+                v[:, :, j * d : (j + 1) * d],
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        l_next = alpha * l_prev + l_curr
+        acc = acc * alpha + pv
+        return m_next, l_next, acc
+
+    init = (
+        jnp.full((hk, gp, 1), -jnp.inf, jnp.float32),
+        jnp.zeros((hk, gp, 1), jnp.float32),
+        jnp.zeros((hk, gp, d), jnp.float32),
+    )
+    m_fin, l_fin, acc = jax.lax.fori_loop(0, n_blocks, body, init)
+    l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+    o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+
+
+def decode_attention_supported(head_dim: int, s_max: int, block_s: int = 256) -> bool:
+    bs = min(block_s, s_max)
+    return (
+        head_dim <= _LANES
+        and _LANES % head_dim == 0
+        and s_max % bs == 0
+        and (bs * head_dim) % _LANES == 0
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "block_s", "interpret"),
+)
+def decode_attention(
+    q,
+    k_cache,
+    v_cache,
+    kv_len,
+    *,
+    sm_scale: float | None = None,
+    block_s: int = 256,
+    interpret: bool = False,
+):
+    """softmax(q @ kᵀ · scale) @ v over the valid cache prefix.
+
+    q: [B, H, 1, D] (the current token's queries — seq_q must be 1);
+    k_cache/v_cache: [B, Hk, S, D] preallocated, H % Hk == 0;
+    kv_len: [B] i32 valid prefix lengths (the new token's K/V must already be
+    written at position kv_len-1). Causality is implied: the single query is
+    the last valid position, so masking col < kv_len is exactly the causal
+    mask for it.
+    """
+    b, h, sq, d = q.shape
+    _, hk, s_max, _ = k_cache.shape
+    assert sq == 1, "decode_attention handles exactly one query position"
+    assert h % hk == 0
+    group = h // hk
+    if sm_scale is None:
+        sm_scale = 1.0 / (d**0.5)
+    kv_len = jnp.asarray(kv_len, jnp.int32).reshape(b)
+
+    block_s = min(block_s, s_max)
+    if not decode_attention_supported(d, s_max, block_s):
+        raise ValueError(
+            f"decode_attention needs head_dim | 128 and block-aligned cache; "
+            f"got head_dim={d}, s_max={s_max}, block_s={block_s}"
+        )
+    rows_per_block = block_s * d // _LANES
+
+    # Free views: [B, Hk, S, D] is contiguous, so folding (S, D) into
+    # (S*D/128, 128) is pure reindexing — no copy.
+    kf = k_cache.reshape(b, hk, s_max * d // _LANES, _LANES)
+    vf = v_cache.reshape(b, hk, s_max * d // _LANES, _LANES)
+
+    # [B, H, 1, D] -> [B, Hk, group, D], pad group rows to the f32 sublane
+    # minimum so the q tile is a legal VMEM shape.
+    gp = max(8, -(-group // 8) * 8)
+    qg = q.reshape(b, hk, group, d)
+    if gp != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
+
+    kernel = functools.partial(
+        _decode_attn_kernel,
+        block_s=block_s,
+        rows_per_block=rows_per_block,
+        d=d,
+        sm_scale=sm_scale,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, hk, rows_per_block, _LANES), k_cache.dtype),
+                pltpu.VMEM((2, hk, rows_per_block, _LANES), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hk, gp, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s_max * d,
+            bytes_accessed=2 * b * hk * s_max * d * k_cache.dtype.itemsize,
+            transcendentals=b * h * s_max,
+        ),
+        interpret=interpret,
+    )(kv_len, qg, kf, vf)
+    return out[:, :, :group, :].reshape(b, h, 1, d)

@@ -39,6 +39,173 @@ def quantize_weights_int8(w, axis: int = -1):
     return q, np.squeeze(scales, axis=reduce_axes).astype(np.float32)
 
 
+def _gemv_kernel(
+    x_ref,
+    w_ref,
+    s_ref,
+    b_ref,
+    ns_ref,
+    nb_ref,
+    r_ref,
+    o_ref,
+    xn_scr,
+    *,
+    activation,
+    norm,
+    norm_eps,
+):
+    # Whole-K tile: no accumulator loop. The int8→f32 conversion feeds the
+    # MXU directly; at M=8 the matmul is trivially cheap and the kernel is
+    # bound by the int8 weight stream from HBM.
+    if norm is not None:
+        # Fused pre-norm: the cross-lane row statistics are computed ONCE on
+        # the first N-stripe and cached in VMEM scratch (lane reductions are
+        # the slow VPU direction — recomputing per stripe serializes with the
+        # weight stream). Saves an entire XLA kernel + HBM round trip of the
+        # normalized activations. Requires sequential grid ("arbitrary").
+        @pl.when(pl.program_id(0) == 0)
+        def _compute_norm():
+            x = x_ref[...]
+            if norm == "rmsnorm":
+                inv = jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + norm_eps)
+                x = x * inv
+            else:
+                mean = jnp.mean(x, -1, keepdims=True)
+                xc = x - mean
+                var = jnp.mean(xc * xc, -1, keepdims=True)
+                x = xc * jax.lax.rsqrt(var + norm_eps)
+            x = x * ns_ref[...].astype(jnp.float32)
+            if nb_ref is not None:
+                x = x + nb_ref[...].astype(jnp.float32)
+            xn_scr[...] = x
+
+        x = xn_scr[...]
+    else:
+        x = x_ref[...]
+    w = w_ref[...].astype(jnp.float32)
+    acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    out = acc * s_ref[...]
+    if b_ref is not None:
+        out = out + b_ref[...].astype(jnp.float32)
+    out = _ACTIVATIONS[activation](out)
+    if r_ref is not None:
+        out = out + r_ref[...].astype(jnp.float32)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("activation", "norm", "norm_eps", "block_n", "out_dtype", "interpret"),
+)
+def quant_gemv_int8(
+    x,
+    w_q,
+    scales,
+    bias=None,
+    *,
+    activation: str | None = None,
+    norm: str | None = None,  # "layernorm" | "rmsnorm" fused prologue
+    norm_scale=None,
+    norm_bias=None,
+    norm_eps: float = 1e-5,
+    residual=None,  # [M, N] added after activation (fused epilogue)
+    block_n: int = 512,
+    out_dtype=None,
+    interpret: bool = False,
+):
+    """Decode-path GEMV for tiny M (≤8):
+
+        out = activation((norm(x) @ w_q) * scales + bias) + residual
+
+    Batch-1 decode is the reference's per-token Model::run hot loop
+    (rten-generate/src/generator.rs:511); on TPU it is HBM-bandwidth-bound —
+    every token reads all weights — so this kernel streams the int8 matrix in
+    [K, block_n] stripes with the full K in VMEM and no M/K grid at all.
+    The pre-norm prologue and bias/activation/residual epilogue fold the
+    surrounding elementwise ops of a transformer block into the weight
+    stream, eliminating their kernel launches and HBM round trips.
+    M is padded to the f32 sublane minimum (8); x is promoted to f32 so the
+    8-row tile is legal and the norm/epilogue math stays exact."""
+    m, k = x.shape
+    k2, n = w_q.shape
+    assert k == k2 and m <= 8, (x.shape, w_q.shape)
+    out_dtype = out_dtype or x.dtype
+
+    mp = 8
+    xp = jnp.pad(x.astype(jnp.float32), ((0, mp - m), (0, 0)))
+    bn = pick_block(n, block_n)
+    wp = _pad_to(w_q, bn, 1)
+    sp = _pad_to(scales.reshape(1, -1), bn, 1)
+    np_ = wp.shape[1]
+
+    in_specs = [
+        pl.BlockSpec((mp, k), lambda j: (0, 0)),
+        pl.BlockSpec((k, bn), lambda j: (0, j)),
+        pl.BlockSpec((1, bn), lambda j: (0, j)),
+    ]
+    args = [xp, wp, sp]
+    have = {"b_ref": False, "ns_ref": False, "nb_ref": False, "r_ref": False}
+    if bias is not None:
+        args.append(_pad_to(bias.reshape(1, -1), bn, 1))
+        in_specs.append(pl.BlockSpec((1, bn), lambda j: (0, j)))
+        have["b_ref"] = True
+    if norm is not None:
+        assert norm_scale is not None
+        args.append(norm_scale.reshape(1, -1))
+        in_specs.append(pl.BlockSpec((1, k), lambda j: (0, 0)))
+        have["ns_ref"] = True
+        if norm_bias is not None:
+            args.append(norm_bias.reshape(1, -1))
+            in_specs.append(pl.BlockSpec((1, k), lambda j: (0, 0)))
+            have["nb_ref"] = True
+    if residual is not None:
+        assert residual.shape == (m, n), (residual.shape, (m, n))
+        rp = _pad_to(jnp.pad(residual, ((0, mp - m), (0, 0))), bn, 1)
+        args.append(rp)
+        in_specs.append(pl.BlockSpec((mp, bn), lambda j: (0, j)))
+        have["r_ref"] = True
+
+    order = [k_ for k_ in ("b_ref", "ns_ref", "nb_ref", "r_ref") if have[k_]]
+
+    def kernel(x_ref, w_ref, s_ref, *rest):
+        opt = dict(zip(order, rest[:-2]))
+        _gemv_kernel(
+            x_ref,
+            w_ref,
+            s_ref,
+            opt.get("b_ref"),
+            opt.get("ns_ref"),
+            opt.get("nb_ref"),
+            opt.get("r_ref"),
+            rest[-2],
+            rest[-1],
+            activation=activation,
+            norm=norm,
+            norm_eps=norm_eps,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        grid=(np_ // bn,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((mp, bn), lambda j: (0, j)),
+        scratch_shapes=[pltpu.VMEM((mp, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            # "arbitrary": the norm scratch is written on stripe 0 and read
+            # by every later stripe — execution must stay in grid order.
+            dimension_semantics=("arbitrary",) if norm is not None else ("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * k,
+            bytes_accessed=k * np_ + mp * k * 4 + mp * np_ * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:m, :n]
+
+
 def _q_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, activation, n_k):
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -88,6 +255,20 @@ def quant_matmul_int8(
     k2, n = w_q.shape
     assert k == k2
     out_dtype = out_dtype or x.dtype
+
+    if m <= 8:
+        # Decode hot path: one token (or a tiny batch) against the full
+        # weight matrix — the GEMV kernel streams int8 at HBM speed instead
+        # of padding M to an MXU tile.
+        return quant_gemv_int8(
+            x,
+            w_q,
+            scales,
+            bias,
+            activation=activation,
+            out_dtype=out_dtype,
+            interpret=interpret,
+        )
 
     block_m = min(block_m, max(128, -(-m // 128) * 128))
     block_n = pick_block(n, block_n)

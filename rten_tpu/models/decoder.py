@@ -314,19 +314,77 @@ def forward(
     if cfg.pos_encoding == "learned":
         x = x + jnp.take(params["pos_emb"], positions, axis=0)
 
+    # Decode fast path: at ≤8 total rows the int8 GEMV kernel fuses the
+    # pre-norm prologue and bias/activation/residual epilogue, so a whole
+    # transformer block runs as a handful of weight-streaming kernels with
+    # no intermediate XLA elementwise launches. RTEN_DECODE_FUSE=0 disables
+    # (env-flag escape hatch, like the reference's RTEN_USE_POOL,
+    # src/graph.rs:961).
+    import os
+
+    m_rows = b * t
+    _fuse_mode = os.environ.get("RTEN_DECODE_FUSE", "1")
+    fuse = dispatch.on_tpu() and m_rows <= 8 and _fuse_mode != "0"
+    fuse_norm = fuse and _fuse_mode != "epi"
+
+    def _fproj(
+        src, w, bias=None, *, activation=None, norm_p=None, residual=None, out_dim=None
+    ):
+        if norm_p is not None and not fuse_norm:
+            src = _norm(src, norm_p, cfg)
+            norm_p = None
+        if (
+            fuse
+            and isinstance(w, dict)
+            and w["q"].shape[0] == src.shape[-1]
+            and (residual is None or w["q"].shape[1] == residual.shape[-1])
+        ):
+            from rten_tpu.kernels.quant_matmul import quant_gemv_int8
+
+            x2 = src.reshape(m_rows, src.shape[-1])
+            r2 = residual.reshape(m_rows, -1) if residual is not None else None
+            out = quant_gemv_int8(
+                x2,
+                w["q"],
+                w["s"],
+                bias,
+                activation=activation,
+                norm=cfg.norm if norm_p is not None else None,
+                norm_scale=norm_p["scale"] if norm_p is not None else None,
+                norm_bias=norm_p.get("bias") if norm_p is not None else None,
+                norm_eps=cfg.layer_norm_eps,
+                residual=r2,
+                out_dtype=src.dtype,
+            )
+            out = out.reshape(*src.shape[:-1], out.shape[-1])
+            if out_dim is not None and out.shape[-1] != out_dim:
+                out = out[..., :out_dim]
+            return out
+        xn = _norm(src, norm_p, cfg) if norm_p is not None else src
+        out = _proj(xn, w, bias, out_dim=out_dim, activation=activation)
+        if residual is not None:
+            out = out + residual
+        return out
+
     new_k_layers = []
     new_v_layers = []
     for li, layer in enumerate(params["layers"]):
         resid = x
-        xn = _norm(x, layer["ln1"], cfg)
+        xn = None if fuse else _norm(x, layer["ln1"], cfg)
         if "wqkv" in layer:
             qkv_dim = (h + 2 * hk) * hd
-            qkv = _proj(xn, layer["wqkv"], layer.get("bqkv"), out_dim=qkv_dim)
+            qkv = _fproj(
+                x, layer["wqkv"], layer.get("bqkv"), norm_p=layer["ln1"], out_dim=qkv_dim
+            ) if fuse else _proj(xn, layer["wqkv"], layer.get("bqkv"), out_dim=qkv_dim)
             q, k, v = (
                 qkv[..., : h * hd],
                 qkv[..., h * hd : (h + hk) * hd],
                 qkv[..., (h + hk) * hd :],
             )
+        elif fuse:
+            q = _fproj(x, layer["wq"], layer.get("bq"), norm_p=layer["ln1"])
+            k = _fproj(x, layer["wk"], layer.get("bk"), norm_p=layer["ln1"])
+            v = _fproj(x, layer["wv"], layer.get("bv"), norm_p=layer["ln1"])
         else:
             q = _proj(xn, layer["wq"], layer.get("bq"))
             k = _proj(xn, layer["wk"], layer.get("bk"))
@@ -353,7 +411,22 @@ def forward(
             attn_in = (q, k, v)
             q_offset = jnp.zeros((b,), jnp.int32)
 
-        if use_flash:
+        from rten_tpu.kernels.decode_attention import (
+            decode_attention,
+            decode_attention_supported,
+        )
+
+        if (
+            use_flash
+            and cache is not None
+            and t == 1
+            and decode_attention_supported(hd, k_cache.shape[2])
+        ):
+            # Single-token decode: prefix-bounded kernel reads only the
+            # valid ceil(kv_len/block) cache blocks from HBM instead of the
+            # whole max_seq allocation.
+            attn = decode_attention(q, k_cache, v_cache, kv_len)
+        elif use_flash:
             attn = flash_attention(
                 *attn_in, causal=True, q_offset=q_offset, kv_len=kv_len
             )
@@ -362,31 +435,52 @@ def forward(
                 *attn_in, causal=True, q_offset=q_offset, kv_len=kv_len
             )
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
-        x = resid + _proj(attn, layer["wo"], layer.get("bo"))
+        x = _fproj(attn, layer["wo"], layer.get("bo"), residual=resid)
 
         resid = x
-        xn = _norm(x, layer["ln2"], cfg)
+        xn = None if fuse else _norm(x, layer["ln2"], cfg)
         if cfg.activation == "swiglu":
             if "w_gu" in layer:
-                gu = _proj(xn, layer["w_gu"], out_dim=2 * cfg.d_ff)
+                gu = (
+                    _fproj(x, layer["w_gu"], norm_p=layer["ln2"], out_dim=2 * cfg.d_ff)
+                    if fuse
+                    else _proj(xn, layer["w_gu"], out_dim=2 * cfg.d_ff)
+                )
                 gate, up = gu[..., : cfg.d_ff], gu[..., cfg.d_ff :]
+            elif fuse:
+                gate = _fproj(x, layer["w_gate"], norm_p=layer["ln2"])
+                up = _fproj(x, layer["w_up"], norm_p=layer["ln2"])
             else:
                 gate = _proj(xn, layer["w_gate"])
                 up = _proj(xn, layer["w_up"])
             ff = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
         else:
-            # GELU fuses into the up-projection epilogue on the int8 path.
-            ff = _proj(xn, layer["w_up"], layer.get("b_up"), activation="gelu")
-        x = resid + _proj(ff, layer["w_down"], layer.get("b_down"))
+            # Pre-norm + GELU both fuse into the up-projection kernel.
+            ff = (
+                _fproj(
+                    x,
+                    layer["w_up"],
+                    layer.get("b_up"),
+                    activation="gelu",
+                    norm_p=layer["ln2"],
+                )
+                if fuse
+                else _proj(xn, layer["w_up"], layer.get("b_up"), activation="gelu")
+            )
+        x = _fproj(ff, layer["w_down"], layer.get("b_down"), residual=resid)
 
-    x = _norm(x, params["final_norm"], cfg)
-    if cfg.tie_embeddings:
-        if "lm_head_q" in params:
-            logits = _proj(x, params["lm_head_q"], out_dim=cfg.vocab_size)
-        else:
-            logits = dispatch.matmul(x, params["tok_emb"].T)
+    if cfg.tie_embeddings and "lm_head_q" not in params:
+        x = _norm(x, params["final_norm"], cfg)
+        logits = dispatch.matmul(x, params["tok_emb"].T)
     else:
-        logits = _proj(x, params["lm_head"], out_dim=cfg.vocab_size)
+        head = params["lm_head_q"] if "lm_head_q" in params else params["lm_head"]
+        if fuse and isinstance(head, dict):
+            logits = _fproj(
+                x, head, norm_p=params["final_norm"], out_dim=cfg.vocab_size
+            )
+        else:
+            xn = _norm(x, params["final_norm"], cfg)
+            logits = _proj(xn, head, out_dim=cfg.vocab_size)
 
     if cache is not None:
         new_cache = {

@@ -123,3 +123,111 @@ def test_flash_attention_decode_single_token(rng):
     )
     ref = attention_reference(q, k, v, causal=True, q_offset=kv_len - 1, kv_len=kv_len)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Decode-path kernels: int8 GEMV + prefix-bounded decode attention
+# ---------------------------------------------------------------------------
+
+
+def test_quant_gemv_matches_dequant(rng):
+    from rten_tpu.kernels.quant_matmul import quant_gemv_int8, quantize_weights_int8
+
+    k, n = 256, 640
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    q, s = quantize_weights_int8(w)
+    x = rng.standard_normal((1, k)).astype(np.float32)
+    out = quant_gemv_int8(jnp.asarray(x), jnp.asarray(q), jnp.asarray(s), interpret=True)
+    ref = x @ (q.astype(np.float32) * s)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=5e-2, atol=5e-2)
+
+
+def test_quant_gemv_fused_norm_bias_act_residual(rng):
+    from rten_tpu.kernels.quant_matmul import quant_gemv_int8, quantize_weights_int8
+
+    k, n = 128, 384
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    q, s = quantize_weights_int8(w)
+    x = rng.standard_normal((2, k)).astype(np.float32)
+    bias = rng.standard_normal(n).astype(np.float32) * 0.1
+    ns = 1.0 + 0.1 * rng.standard_normal(k).astype(np.float32)
+    nb = 0.1 * rng.standard_normal(k).astype(np.float32)
+    resid = rng.standard_normal((2, n)).astype(np.float32)
+
+    out = quant_gemv_int8(
+        jnp.asarray(x),
+        jnp.asarray(q),
+        jnp.asarray(s),
+        jnp.asarray(bias),
+        norm="layernorm",
+        norm_scale=jnp.asarray(ns),
+        norm_bias=jnp.asarray(nb),
+        residual=jnp.asarray(resid),
+        activation="relu",
+        interpret=True,
+    )
+    xn = (x - x.mean(-1, keepdims=True)) / np.sqrt(x.var(-1, keepdims=True) + 1e-5)
+    xn = xn * ns + nb
+    ref = np.maximum(xn @ (q.astype(np.float32) * s) + bias, 0.0) + resid
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=5e-2, atol=5e-2)
+
+
+def test_quant_gemv_rmsnorm(rng):
+    from rten_tpu.kernels.quant_matmul import quant_gemv_int8, quantize_weights_int8
+
+    k, n = 128, 256
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    q, s = quantize_weights_int8(w)
+    x = rng.standard_normal((1, k)).astype(np.float32)
+    ns = 1.0 + 0.1 * rng.standard_normal(k).astype(np.float32)
+    out = quant_gemv_int8(
+        jnp.asarray(x),
+        jnp.asarray(q),
+        jnp.asarray(s),
+        norm="rmsnorm",
+        norm_scale=jnp.asarray(ns),
+        norm_eps=1e-6,
+        interpret=True,
+    )
+    xn = x / np.sqrt((x * x).mean(-1, keepdims=True) + 1e-6) * ns
+    ref = xn @ (q.astype(np.float32) * s)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=5e-2, atol=5e-2)
+
+
+def test_decode_attention_matches_reference(rng):
+    from rten_tpu.kernels.decode_attention import decode_attention
+
+    b, h, s, d = 2, 4, 256, 64
+    q = rng.standard_normal((b, h, 1, d)).astype(np.float32) * 0.3
+    kc = rng.standard_normal((b, h, s, d)).astype(np.float32) * 0.3
+    vc = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    kv_len = np.array([100, 256], np.int32)
+    out = decode_attention(
+        jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(kv_len),
+        interpret=True,
+    )
+    ref = attention_reference(
+        q, kc, vc, causal=True, q_offset=kv_len - 1, kv_len=kv_len
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-3)
+
+
+def test_decode_attention_gqa_and_len1(rng):
+    from rten_tpu.kernels.decode_attention import decode_attention
+
+    b, h, hk, s, d = 1, 8, 2, 128, 64
+    q = rng.standard_normal((b, h, 1, d)).astype(np.float32) * 0.3
+    kc = rng.standard_normal((b, hk, s, d)).astype(np.float32) * 0.3
+    vc = rng.standard_normal((b, hk, s, d)).astype(np.float32)
+    for length in (1, 127, 128):
+        kv_len = np.array([length], np.int32)
+        out = decode_attention(
+            jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(kv_len),
+            block_s=128, interpret=True,
+        )
+        ref = attention_reference(
+            q, kc, vc, causal=True, q_offset=kv_len - 1, kv_len=kv_len
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-3
+        )
