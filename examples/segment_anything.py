@@ -1,0 +1,67 @@
+"""Promptable segmentation (Segment-Anything-style).
+
+TPU-native counterpart of rten-examples/src/segment_anything.rs: image →
+ViT image encoder (run once) → point prompt embedding → mask head → binary
+mask → contour extraction + polygon simplification with
+rten_tpu.image.contours/poly (≙ rten-imageproc contours.rs/poly_algos.rs,
+the reference's mask post-processing toolkit).
+
+    python examples/segment_anything.py --demo --point 40,20
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from examples import common
+
+
+def main(argv=None):
+    argv = common.force_cpu_if_requested(argv or sys.argv[1:])
+    p = common.make_parser(__doc__)
+    p.add_argument("--point", default="40,20", help="prompt point as x,y")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rten_tpu.image.contours import find_contours
+    from rten_tpu.image.poly import simplify_polygon
+    from rten_tpu.models import vit
+
+    size = 32
+    px, py = (int(v) for v in args.point.split(","))
+    chw = common.synthetic_image(size, size, args.seed)
+
+    cfg = vit.ViTConfig(
+        image_size=size, patch_size=4, n_layers=2, n_heads=2,
+        d_model=64, d_ff=128, use_cls_token=False,
+    )
+    params = vit.init_params(jax.random.PRNGKey(args.seed), cfg)
+    hidden = vit.encode(params, cfg, jnp.asarray(chw[None]))
+    fm = vit.feature_map(hidden, cfg)  # [1, D, g, g]
+    g = fm.shape[-1]
+
+    # Point prompt → the prompt token is the image embedding at that location;
+    # mask logits = similarity of every patch embedding to the prompt token
+    # (the SAM decoder reduced to its dot-product core).
+    prompt = fm[0, :, py * g // size, px * g // size]  # [D]
+    sim = jnp.einsum("dhw,d->hw", fm[0], prompt) / jnp.sqrt(fm.shape[1] * 1.0)
+    mask_logits = jax.image.resize(sim, (size, size), "bilinear")
+    mask = np.asarray(mask_logits > jnp.percentile(mask_logits, 75)).astype(np.uint8)
+
+    print(f"mask covers {mask.sum()} px ({100.0 * mask.mean():.1f}%)")
+    contours = find_contours(mask)
+    print(f"{len(contours)} contour(s)")
+    for i, contour in enumerate(contours[:3]):
+        poly = simplify_polygon(contour, epsilon=1.5)
+        pts = getattr(poly, "points", poly)
+        print(f"  contour {i}: {len(pts)} vertices after simplification")
+    return 0
+
+
+if __name__ == "__main__":
+    common.run_main(main)

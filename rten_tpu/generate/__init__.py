@@ -7,13 +7,20 @@ compiled programs (prefill + decode step) over a preallocated KV cache
 instead of one graph run per token with concat-grown caches.
 """
 
-from rten_tpu.generate.generator import Generator, GeneratorConfig
+from rten_tpu.generate.generator import (
+    Generator,
+    GeneratorConfig,
+    GraphBackend,
+    NativeBackend,
+)
 from rten_tpu.generate.metrics import Metrics
 from rten_tpu.generate.sampler import ArgMaxSampler, Sampler, TopKSampler, TopPSampler
 
 __all__ = [
     "Generator",
     "GeneratorConfig",
+    "GraphBackend",
+    "NativeBackend",
     "Metrics",
     "Sampler",
     "ArgMaxSampler",

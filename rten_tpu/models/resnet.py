@@ -108,8 +108,13 @@ def _bn(x, p):
     return x * scale[None, :, None, None] + shift[None, :, None, None]
 
 
-def forward(params: dict, cfg: ResNetConfig, images: jax.Array) -> jax.Array:
-    """images: [N, 3, H, W] normalized; returns logits [N, num_classes]."""
+def forward(
+    params: dict, cfg: ResNetConfig, images: jax.Array, *, features: bool = False
+) -> jax.Array:
+    """images: [N, 3, H, W] normalized; returns logits [N, num_classes], or
+    the pre-pool feature map [N, C, h, w] with ``features=True`` (backbone
+    mode for detection/segmentation heads, ≙ the reference's deeplab/yolo
+    examples consuming backbone outputs)."""
     x = images.astype(cfg.dtype)
     x = _conv(x, params["stem"]["conv"], stride=2)
     x = jax.nn.relu(_bn(x, params["stem"]["bn"]))
@@ -132,6 +137,8 @@ def forward(params: dict, cfg: ResNetConfig, images: jax.Array) -> jax.Array:
             if "proj" in block:
                 resid = _bn(_conv(x, block["proj"], stride=stride), block["proj_bn"])
             x = jax.nn.relu(resid + y)
+    if features:
+        return x
     x = jnp.mean(x, axis=(2, 3))
     return (
         x @ params["fc"]["w"].astype(x.dtype) + params["fc"]["b"].astype(x.dtype)
