@@ -25,6 +25,15 @@ Two layout decisions keep it DMA-efficient at decode sizes:
 Softmax statistics and the output accumulator are fori_loop carries, f32
 throughout, [Hk, Gp, ·] batched over heads (GQA query heads of a group ride
 along as rows Gp of their KV head's q tile).
+
+The kernel also performs the CACHE WRITE: the new token's k/v are passed
+separately, appended into the HBM cache via an in-kernel read-modify-write
+DMA on the (128-lane) row holding position kv_len (caches are aliased
+inputs→outputs, so this is a true in-place update), and folded into the
+online softmax directly from VMEM — its score never round-trips through
+HBM. This replaces the XLA dynamic_update_slice per layer, which measured
+~70-86 µs/step for GPT-2-small caches inside lax.scan (XLA materializes
+carry copies) versus ~0 here.
 """
 
 from __future__ import annotations
@@ -45,14 +54,18 @@ def _decode_attn_kernel(
     kv_len_ref,
     # inputs
     q_ref,  # [1, Hk, Gp, D] VMEM
-    k_hbm,  # [B, Hk, S*D/128, 128] ANY (stays in HBM)
+    k_hbm,  # [B, Hk, S*D/128, 128] ANY (stays in HBM; aliased as output)
     v_hbm,
+    kn_ref,  # [1, Hk, 8, D] VMEM — new token's k (row 0) or None
+    vn_ref,
     # outputs
     o_ref,  # [1, Hk, Gp, D] VMEM
     # scratch
     k_buf,  # [2, Hk, rows_per_block, 128] VMEM double buffer
     v_buf,
     sem,  # DMA semaphores [2, 2]
+    row_buf,  # [2, Hk, 8, 128] VMEM — RMW row staging (k, v) or None
+    row_sem,
     *,
     block_s: int,
     rows_per_block: int,
@@ -80,9 +93,52 @@ def _decode_attn_kernel(
         )
         return kc, vc
 
-    kc0, vc0 = dma(0, 0)
-    kc0.start()
-    vc0.start()
+    @pl.when(n_blocks > 0)
+    def _warmup():
+        # An unguarded start would leave an un-waited DMA in flight when the
+        # valid prefix is empty (kv_len == 0) — a hardware fault at kernel
+        # exit, not just waste.
+        kc0, vc0 = dma(0, 0)
+        kc0.start()
+        vc0.start()
+
+    if kn_ref is not None:
+        # Append the new token into the cache: read-modify-write the 8-row
+        # (sublane-aligned) window holding position ``length``'s 128-lane
+        # row. Valid lanes are written back unchanged, and the main loop
+        # masks cols ≥ length, so any interleaving with this write is
+        # harmless.
+        row = (length * d) // _LANES
+        row8 = (row // 8) * 8
+        local = row - row8
+        sub = jax.lax.rem(length, f)  # which D-lane slot inside the row
+
+        def rmw(src_new_ref, hbm, which):
+            rd = pltpu.make_async_copy(
+                hbm.at[b, :, pl.ds(row8, 8), :],
+                row_buf.at[which],
+                row_sem.at[which],
+            )
+            rd.start()
+            rd.wait()
+            old = row_buf[which]  # [Hk, 8, 128]
+            new = src_new_ref[0, :, 0:1, :]  # [Hk, 1, D]
+            tiled = jnp.concatenate([new] * f, axis=-1) if f > 1 else new
+            lane = jax.lax.broadcasted_iota(jnp.int32, (hk, 8, _LANES), 2)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (hk, 8, _LANES), 1)
+            hit = jnp.logical_and(rows == local, lane // d == sub)
+            merged = jnp.where(hit, tiled.astype(old.dtype), old)
+            row_buf[which] = merged
+            wr = pltpu.make_async_copy(
+                row_buf.at[which],
+                hbm.at[b, :, pl.ds(row8, 8), :],
+                row_sem.at[which],
+            )
+            wr.start()
+            wr.wait()
+
+        rmw(kn_ref, k_hbm, 0)
+        rmw(vn_ref, v_hbm, 1)
 
     q = q_ref[0].astype(jnp.float32)  # [Hk, Gp, D]
 
@@ -145,11 +201,28 @@ def _decode_attn_kernel(
         acc = acc * alpha + pv
         return m_next, l_next, acc
 
-    init = (
-        jnp.full((hk, gp, 1), -jnp.inf, jnp.float32),
-        jnp.zeros((hk, gp, 1), jnp.float32),
-        jnp.zeros((hk, gp, d), jnp.float32),
-    )
+    if kn_ref is not None:
+        # Seed the online softmax with the new token itself (it is the last
+        # valid position and always attends to itself): m = its score, l = 1,
+        # acc = its value — never read back from HBM.
+        k_new = kn_ref[0, :, 0:1, :].astype(jnp.float32)  # [Hk, 1, D]
+        s_new = jax.lax.dot_general(
+            q, k_new, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [Hk, Gp, 1]
+        if sm_scale != 1.0:
+            s_new = s_new * sm_scale
+        init = (
+            s_new,
+            jnp.ones((hk, gp, 1), jnp.float32),
+            jnp.broadcast_to(vn_ref[0, :, 0:1, :].astype(jnp.float32), (hk, gp, d)),
+        )
+    else:
+        init = (
+            jnp.full((hk, gp, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((hk, gp, 1), jnp.float32),
+            jnp.zeros((hk, gp, d), jnp.float32),
+        )
     m_fin, l_fin, acc = jax.lax.fori_loop(0, n_blocks, body, init)
     l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
     o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
@@ -162,6 +235,9 @@ def decode_attention_supported(head_dim: int, s_max: int, block_s: int = 256) ->
         and _LANES % head_dim == 0
         and s_max % bs == 0
         and (bs * head_dim) % _LANES == 0
+        # fused cache write RMWs an 8-row window: the folded row count must
+        # cover whole windows
+        and (s_max * head_dim) % (8 * _LANES) == 0
     )
 
 
@@ -174,6 +250,8 @@ def decode_attention(
     k_cache,
     v_cache,
     kv_len,
+    k_new=None,
+    v_new=None,
     *,
     sm_scale: float | None = None,
     block_s: int = 256,
@@ -182,11 +260,20 @@ def decode_attention(
     """softmax(q @ kᵀ · scale) @ v over the valid cache prefix.
 
     q: [B, H, 1, D] (the current token's queries — seq_q must be 1);
-    k_cache/v_cache: [B, Hk, S, D] preallocated, H % Hk == 0;
-    kv_len: [B] i32 valid prefix lengths (the new token's K/V must already be
-    written at position kv_len-1). Causality is implied: the single query is
-    the last valid position, so masking col < kv_len is exactly the causal
-    mask for it.
+    k_cache/v_cache: [B, Hk, S, D] preallocated, H % Hk == 0.
+
+    Without k_new/v_new: kv_len is the valid prefix INCLUDING the current
+    token (its K/V already written at kv_len-1); returns the attention
+    output [B, H, 1, D].
+
+    With k_new/v_new ([B, Hk, 1, D]): kv_len is the prefix length BEFORE
+    this token; the kernel appends k_new/v_new into the caches at position
+    kv_len (in-place — the caches are aliased input→output buffers, the
+    caller MUST donate them) and attends over prefix+new. Returns
+    (out, k_cache, v_cache).
+
+    Causality is implied either way: the single query is the last valid
+    position.
     """
     b, h, sq, d = q.shape
     _, hk, s_max, _ = k_cache.shape
@@ -204,6 +291,7 @@ def decode_attention(
             f"got head_dim={d}, s_max={s_max}, block_s={block_s}"
         )
     rows_per_block = block_s * d // _LANES
+    fused_write = k_new is not None
 
     # Free views: [B, Hk, S, D] is contiguous, so folding (S, D) into
     # (S*D/128, 128) is pure reindexing — no copy.
@@ -217,31 +305,89 @@ def decode_attention(
     if gp != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
 
-    kernel = functools.partial(
-        _decode_attn_kernel,
-        block_s=block_s,
-        rows_per_block=rows_per_block,
-        d=d,
-        sm_scale=sm_scale,
-    )
-    out = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    args = [kv_len, qg, kf, vf]
+    scratch = [
+        pltpu.VMEM((2, hk, rows_per_block, _LANES), k_cache.dtype),
+        pltpu.VMEM((2, hk, rows_per_block, _LANES), v_cache.dtype),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+    if fused_write:
+        knp = jnp.pad(k_new, ((0, 0), (0, 0), (0, 7), (0, 0)))
+        vnp = jnp.pad(v_new, ((0, 0), (0, 0), (0, 7), (0, 0)))
+        in_specs += [
+            pl.BlockSpec((1, hk, 8, d), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hk, 8, d), lambda bi, *_: (bi, 0, 0, 0)),
+        ]
+        args += [knp, vnp]
+        scratch += [
+            pltpu.VMEM((2, hk, 8, _LANES), k_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        out_shape = (
+            jax.ShapeDtypeStruct((b, hk, gp, d), q.dtype),
+            jax.ShapeDtypeStruct(kf.shape, kf.dtype),
+            jax.ShapeDtypeStruct(vf.shape, vf.dtype),
+        )
+        out_specs = (
+            pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        )
+        # Flattened operand indices include the scalar-prefetch arg:
+        # 0=kv_len, 1=q, 2=k cache, 3=v cache → outputs 1, 2.
+        aliases = {2: 1, 3: 2}
+    else:
+        out_shape = jax.ShapeDtypeStruct((b, hk, gp, d), q.dtype)
+        out_specs = pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0))
+        aliases = {}
+
+    def kernel(kv_len_ref, q_ref, k_hbm, v_hbm, *rest):
+        if fused_write:
+            kn_ref, vn_ref, o_ref = rest[0], rest[1], rest[2]
+            ko_ref, vo_ref = rest[3], rest[4]
+            k_buf, v_buf, sem_, row_buf, row_sem = rest[5:]
+            # Aliased outputs ARE the input buffers; write through them.
+            k_tgt, v_tgt = ko_ref, vo_ref
+        else:
+            kn_ref = vn_ref = row_buf = row_sem = None
+            o_ref = rest[0]
+            k_buf, v_buf, sem_ = rest[1:]
+            k_tgt, v_tgt = k_hbm, v_hbm
+        _decode_attn_kernel(
+            kv_len_ref,
+            q_ref,
+            k_tgt,
+            v_tgt,
+            kn_ref,
+            vn_ref,
+            o_ref,
+            k_buf,
+            v_buf,
+            sem_,
+            row_buf,
+            row_sem,
+            block_s=block_s,
+            rows_per_block=rows_per_block,
+            d=d,
+            sm_scale=sm_scale,
+        )
+
+    res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b,),
-            in_specs=[
-                pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
-            out_specs=pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((2, hk, rows_per_block, _LANES), k_cache.dtype),
-                pltpu.VMEM((2, hk, rows_per_block, _LANES), v_cache.dtype),
-                pltpu.SemaphoreType.DMA((2, 2)),
-            ],
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hk, gp, d), q.dtype),
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
@@ -251,5 +397,13 @@ def decode_attention(
             transcendentals=b * h * s_max,
         ),
         interpret=interpret,
-    )(kv_len, qg, kf, vf)
-    return out[:, :, :group, :].reshape(b, h, 1, d)
+    )(*args)
+    if fused_write:
+        out, k_out, v_out = res
+        out = out[:, :, :group, :].reshape(b, h, 1, d)
+        return (
+            out,
+            k_out.reshape(b, hk, s_max, d),
+            v_out.reshape(b, hk, s_max, d),
+        )
+    return res[:, :, :group, :].reshape(b, h, 1, d)

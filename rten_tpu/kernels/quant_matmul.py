@@ -109,7 +109,7 @@ def quant_gemv_int8(
     norm_bias=None,
     norm_eps: float = 1e-5,
     residual=None,  # [M, N] added after activation (fused epilogue)
-    block_n: int = 512,
+    block_n: int = 1024,  # bigger stripes stream measurably faster (DMA amortization)
     out_dtype=None,
     interpret: bool = False,
 ):

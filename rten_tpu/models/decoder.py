@@ -149,7 +149,10 @@ def quantize_params_int8(params: dict) -> dict:
         arr = np.asarray(leaf, np.float32)
         if arr.ndim == 2 and arr.size >= 1 << 16:
             pad_k = -arr.shape[0] % 128
-            pad_n = -arr.shape[1] % 128
+            # Awkward output dims (vocab) pad to a full GEMV stripe so the
+            # decode kernel streams 1024-wide blocks instead of falling back
+            # to the largest small divisor.
+            pad_n = -arr.shape[1] % (1024 if arr.shape[1] >= 8192 else 128)
             if pad_k or pad_n:
                 arr = np.pad(arr, ((0, pad_k), (0, pad_n)))
             qw, s = quantize_weights_int8(arr, axis=-1)
@@ -396,7 +399,28 @@ def forward(
             q = _rope(q, positions, cfg.rope_theta)
             k = _rope(k, positions, cfg.rope_theta)
 
-        if cache is not None:
+        from rten_tpu.kernels.decode_attention import (
+            decode_attention,
+            decode_attention_supported,
+        )
+
+        decode_fast = (
+            use_flash
+            and cache is not None
+            and t == 1
+            and decode_attention_supported(hd, cache["k"][li].shape[2])
+        )
+        if decode_fast:
+            # Single-token decode: the prefix-bounded kernel appends this
+            # token's k/v into the cache IN-KERNEL (aliased buffers — no XLA
+            # dynamic_update_slice, which costs ~70 µs/step in carry copies)
+            # and reads only the valid ceil(kv_len/block) cache blocks.
+            attn, k_cache, v_cache = decode_attention(
+                q, cache["k"][li], cache["v"][li], start, k, v
+            )
+            new_k_layers.append(k_cache)
+            new_v_layers.append(v_cache)
+        elif cache is not None:
             # Per-batch scatter at each sequence's own length; per-layer
             # leaves let XLA alias the donated buffers (true in-place update).
             k_cache = _update_cache(cache["k"][li], k, start)
@@ -411,21 +435,8 @@ def forward(
             attn_in = (q, k, v)
             q_offset = jnp.zeros((b,), jnp.int32)
 
-        from rten_tpu.kernels.decode_attention import (
-            decode_attention,
-            decode_attention_supported,
-        )
-
-        if (
-            use_flash
-            and cache is not None
-            and t == 1
-            and decode_attention_supported(hd, k_cache.shape[2])
-        ):
-            # Single-token decode: prefix-bounded kernel reads only the
-            # valid ceil(kv_len/block) cache blocks from HBM instead of the
-            # whole max_seq allocation.
-            attn = decode_attention(q, k_cache, v_cache, kv_len)
+        if decode_fast:
+            pass  # attn computed above
         elif use_flash:
             attn = flash_attention(
                 *attn_in, causal=True, q_offset=q_offset, kv_len=kv_len

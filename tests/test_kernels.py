@@ -231,3 +231,30 @@ def test_decode_attention_gqa_and_len1(rng):
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-3
         )
+
+
+def test_decode_attention_fused_cache_write(rng):
+    from rten_tpu.kernels.decode_attention import decode_attention
+
+    b, h, hk, s, d = 2, 4, 2, 128, 64
+    q = rng.standard_normal((b, h, 1, d)).astype(np.float32) * 0.3
+    kc = rng.standard_normal((b, hk, s, d)).astype(np.float32) * 0.3
+    vc = rng.standard_normal((b, hk, s, d)).astype(np.float32)
+    kn = rng.standard_normal((b, hk, 1, d)).astype(np.float32) * 0.3
+    vn = rng.standard_normal((b, hk, 1, d)).astype(np.float32)
+    lens = np.array([0, 77], np.int32)
+
+    out, k2, v2 = decode_attention(
+        jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(lens),
+        jnp.asarray(kn), jnp.asarray(vn), block_s=128, interpret=True,
+    )
+    kc_ref, vc_ref = kc.copy(), vc.copy()
+    for bi in range(b):
+        kc_ref[bi, :, lens[bi]] = kn[bi, :, 0]
+        vc_ref[bi, :, lens[bi]] = vn[bi, :, 0]
+    np.testing.assert_array_equal(np.asarray(k2), kc_ref)
+    np.testing.assert_array_equal(np.asarray(v2), vc_ref)
+    ref = attention_reference(
+        q, kc_ref, vc_ref, causal=True, q_offset=lens, kv_len=lens + 1
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-3)
