@@ -1,0 +1,106 @@
+"""Multi-chip scaling benchmark: serving throughput vs mesh size.
+
+BASELINE.json asks for tokens/s at 1 chip / 1 host / N≥2 hosts with ≥85%
+host-to-host scaling efficiency. This harness measures the continuous-
+batching engine's aggregate decode throughput over a ("data", "model") mesh
+and reports per-mesh tokens/s + efficiency vs the single-device run.
+
+On real multi-chip hardware run it as-is (devices = jax.devices()); on a
+dev box use --virtual N to fake an N-device CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count).
+
+    python benchmarks/scaling.py --virtual 8 --meshes 1x1,2x1,2x4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--virtual", type=int, default=0, help="fake N CPU devices")
+    p.add_argument("--meshes", default="1x1,2x1,1x2", help="comma list of DxM")
+    p.add_argument("--layers", type=int, default=4)
+    p.add_argument("--d-model", type=int, default=256)
+    p.add_argument("--steps", type=int, default=48)
+    p.add_argument("--batch-per-data", type=int, default=4)
+    args = p.parse_args(argv)
+
+    if args.virtual:
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.virtual}"
+        ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rten_tpu.models import decoder
+    from rten_tpu.parallel import make_mesh, shard_cache, shard_decoder_params
+    from rten_tpu.utils.bench import marginal_step_time
+
+    meshes = []
+    for spec in args.meshes.split(","):
+        d, m = (int(v) for v in spec.split("x"))
+        meshes.append((d, m))
+    max_model = max(m for _, m in meshes)
+
+    cfg = decoder.DecoderConfig(
+        vocab_size=1024,
+        n_layers=args.layers,
+        n_heads=2 * max_model,
+        n_kv_heads=max_model,
+        d_model=args.d_model * max_model // max(1, max_model),
+        d_ff=2 * args.d_model,
+        max_seq=256,
+        pos_encoding="rope",
+        norm="rmsnorm",
+        activation="swiglu",
+        tie_embeddings=False,
+        dtype=jnp.float32,
+    )
+    params0 = decoder.init_params(jax.random.PRNGKey(0), cfg)
+
+    results = []
+    for d, m in meshes:
+        if d * m > len(jax.devices()):
+            print(f"skip {d}x{m}: only {len(jax.devices())} devices", file=sys.stderr)
+            continue
+        mesh = make_mesh(data=d, model=m)
+        params = shard_decoder_params(params0, mesh)
+        batch = args.batch_per_data * d
+
+        def run_at(n_steps, params=params, mesh=mesh, batch=batch):
+            cache = shard_cache(decoder.init_cache(cfg, batch, cfg.max_seq), mesh)
+            tok = jnp.zeros((batch, 1), jnp.int32)
+            toks, _ = decoder.generate_scan(
+                params, cfg, cache, tok, jax.random.PRNGKey(0),
+                n_steps=n_steps, use_flash=False,
+            )
+            return toks
+
+        short = max(2, args.steps // 4)
+        step_s = marginal_step_time(run_at, short, max(args.steps, short + 4))
+        tok_s = batch / step_s
+        results.append({"mesh": f"{d}x{m}", "devices": d * m, "tokens_per_s": tok_s})
+
+    if results:
+        base = results[0]
+        for r in results:
+            ideal = base["tokens_per_s"] * r["devices"] / base["devices"]
+            r["scaling_efficiency"] = r["tokens_per_s"] / ideal if ideal else 1.0
+    print(json.dumps(results, indent=None, default=float))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -80,13 +80,28 @@ class ServingEngine:
         max_len: int | None = None,
         sampler: Sampler | None = None,
         seed: int = 0,
+        mesh=None,
     ) -> None:
+        """``mesh``: a ("data", "model") jax.sharding.Mesh — weights get the
+        Megatron tensor-parallel layout and the KV cache shards batch×heads
+        (rten_tpu.parallel.mesh). The engine code path is identical; pjit
+        propagates shardings through prefill/decode (BASELINE config 5:
+        Llama-class INT8 with continuous batching over N≥2 hosts)."""
+        if mesh is not None:
+            from rten_tpu.parallel import shard_decoder_params
+
+            params = shard_decoder_params(params, mesh)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
         self.max_len = max_len or cfg.max_seq
         self.sampler = sampler or ArgMaxSampler()
         self.cache = decoder.init_cache(cfg, max_batch, self.max_len)
+        if mesh is not None:
+            from rten_tpu.parallel import shard_cache
+
+            self.cache = shard_cache(self.cache, mesh)
         self.slots: list[Request | None] = [None] * max_batch
         self.queue: deque[Request] = deque()
         self._last_tokens = np.zeros((max_batch,), np.int32)

@@ -93,3 +93,38 @@ def test_slot_reuse_no_leakage():
     engine.run()
     assert r2.output == solo_generate([1, 2], 4)
     assert r1.output == solo_generate([9, 9, 9, 9, 9], 4)
+
+
+def test_engine_sharded_matches_unsharded():
+    """Continuous batching over a (data, model) mesh (BASELINE config 5 shape,
+    virtual 8-device CPU mesh): same requests, same tokens as single-device."""
+    import jax
+    from rten_tpu.parallel import make_mesh
+
+    cfg = decoder.DecoderConfig(
+        vocab_size=128,
+        n_layers=2,
+        n_heads=4,
+        n_kv_heads=4,
+        d_model=64,
+        d_ff=128,
+        max_seq=64,
+        pos_encoding="rope",
+        norm="rmsnorm",
+        activation="swiglu",
+        tie_embeddings=False,
+    )
+    params = decoder.init_params(jax.random.PRNGKey(0), cfg)
+    prompts = [[1, 2, 3, 4], [9, 8, 7]]
+
+    ref = ServingEngine(params, cfg, max_batch=2, seed=0)
+    for prompt in prompts:
+        ref.submit(Request(prompt=prompt, max_new_tokens=6))
+    ref_out = {tuple(r.prompt): r.output for r in ref.run()}
+
+    mesh = make_mesh(data=2, model=4)
+    eng = ServingEngine(params, cfg, max_batch=2, seed=0, mesh=mesh)
+    for prompt in prompts:
+        eng.submit(Request(prompt=prompt, max_new_tokens=6))
+    out = {tuple(r.prompt): r.output for r in eng.run()}
+    assert out == ref_out
