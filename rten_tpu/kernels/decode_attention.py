@@ -407,3 +407,397 @@ def decode_attention(
             v_out.reshape(b, hk, s_max, d),
         )
     return res[:, :, :group, :].reshape(b, h, 1, d)
+
+
+# ---------------------------------------------------------------------------
+# INT8 KV-cache variant (BASELINE config 4: encoder-decoder with INT8 KV).
+# Same structure as the bf16 kernel; the cache stays int8 END TO END — the
+# guide's quantized-paged-attention recipe (load int8 payload + scales,
+# dequantize in VMEM) — instead of materializing a dequantized copy of the
+# whole cache every step. K's per-token scale multiplies the score columns;
+# V's folds into p before the PV matmul (column scale of p = row scale of v).
+# ---------------------------------------------------------------------------
+
+
+def _decode_attn_int8_kernel(
+    kv_len_ref,
+    q_ref,  # [1, Hk, Gp, D] VMEM f32/bf16
+    k_hbm,  # [B, Hk, S*D/128, 128] int8 ANY (aliased output when writing)
+    v_hbm,
+    ks_hbm,  # [B, Hk, 8, S*D/128] f32 — scale of token t at [t % f, t*D//128]
+    vs_hbm,
+    kn_ref,  # [1, Hk, 8, D] int8 (row 0 = new token) or None
+    vn_ref,
+    kdq_ref,  # [1, Hk, 8, D] f32 — dequantized new token (seed math) or None
+    vdq_ref,
+    o_ref,
+    k_buf,  # [2, Hk, rpb, 128] int8
+    v_buf,
+    s_buf,  # [2, 2, Hk, 8, rpb] f32 (k scales, v scales)
+    sem,  # DMA sems [2, 4]
+    row_buf,  # [2, Hk, 32, 128] int8 RMW staging or None
+    row_sem,
+    *,
+    block_s: int,
+    rows_per_block: int,
+    d: int,
+    sm_scale: float,
+):
+    b = pl.program_id(0)
+    length = kv_len_ref[b]
+    n_blocks = pl.cdiv(length, block_s)
+    f = _LANES // d
+    hk = q_ref.shape[1]
+    gp = q_ref.shape[2]
+
+    def dma(buf_slot, blk_idx):
+        row0 = blk_idx * rows_per_block
+        return (
+            pltpu.make_async_copy(
+                k_hbm.at[b, :, pl.ds(row0, rows_per_block), :],
+                k_buf.at[buf_slot],
+                sem.at[buf_slot, 0],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[b, :, pl.ds(row0, rows_per_block), :],
+                v_buf.at[buf_slot],
+                sem.at[buf_slot, 1],
+            ),
+            pltpu.make_async_copy(
+                ks_hbm.at[b, :, :, pl.ds(row0, rows_per_block)],
+                s_buf.at[buf_slot, 0],
+                sem.at[buf_slot, 2],
+            ),
+            pltpu.make_async_copy(
+                vs_hbm.at[b, :, :, pl.ds(row0, rows_per_block)],
+                s_buf.at[buf_slot, 1],
+                sem.at[buf_slot, 3],
+            ),
+        )
+
+    @pl.when(n_blocks > 0)
+    def _warmup():
+        for copy in dma(0, 0):
+            copy.start()
+
+    if kn_ref is not None:
+        # In-kernel int8 cache append: 32-row RMW window (int8 sublane tiles).
+        row = (length * d) // _LANES
+        row32 = (row // 32) * 32
+        local = row - row32
+        sub = jax.lax.rem(length, f)
+
+        def rmw(src_new_ref, hbm, which):
+            rd = pltpu.make_async_copy(
+                hbm.at[b, :, pl.ds(row32, 32), :],
+                row_buf.at[which],
+                row_sem.at[which],
+            )
+            rd.start()
+            rd.wait()
+            old = row_buf[which]  # [Hk, 32, 128]
+            new = src_new_ref[0, :, 0:1, :]  # [Hk, 1, D]
+            tiled = jnp.concatenate([new] * f, axis=-1) if f > 1 else new
+            lane = jax.lax.broadcasted_iota(jnp.int32, (hk, 32, _LANES), 2)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (hk, 32, _LANES), 1)
+            hit = jnp.logical_and(rows == local, lane // d == sub)
+            row_buf[which] = jnp.where(hit, tiled.astype(old.dtype), old)
+            wr = pltpu.make_async_copy(
+                row_buf.at[which],
+                hbm.at[b, :, pl.ds(row32, 32), :],
+                row_sem.at[which],
+            )
+            wr.start()
+            wr.wait()
+
+        rmw(kn_ref, k_hbm, 0)
+        rmw(vn_ref, v_hbm, 1)
+
+    q = q_ref[0].astype(jnp.float32)  # [Hk, Gp, D]
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        slot = jax.lax.rem(i, 2)
+        next_slot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_blocks)
+        def _prefetch():
+            for copy in dma(next_slot, i + 1):
+                copy.start()
+
+        kc, vc, ksc, vsc = dma(slot, i)
+        kc.wait()
+        ksc.wait()
+        k = k_buf[slot].astype(jnp.float32)  # [Hk, rpb, 128]
+        k_scales = s_buf[slot, 0]  # [Hk, 8, rpb]
+
+        base = i * block_s
+        row_tok = jax.lax.broadcasted_iota(jnp.int32, (hk, gp, rows_per_block), 2) * f
+        s_parts = []
+        for j in range(f):
+            kj = k[:, :, j * d : (j + 1) * d]
+            s = jax.lax.dot_general(
+                q, kj, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [Hk, Gp, rpb]
+            s = s * k_scales[:, j : j + 1, :] * sm_scale
+            s = jnp.where(base + row_tok + j < length, s, DEFAULT_MASK_VALUE)
+            s_parts.append(s)
+
+        m_curr = s_parts[0].max(axis=2, keepdims=True)
+        for s in s_parts[1:]:
+            m_curr = jnp.maximum(m_curr, s.max(axis=2, keepdims=True))
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+
+        vc.wait()
+        vsc.wait()
+        v = v_buf[slot].astype(jnp.float32)
+        v_scales = s_buf[slot, 1]
+
+        l_curr = jnp.zeros_like(l_prev)
+        pv = jnp.zeros_like(acc)
+        for j, s in enumerate(s_parts):
+            p = jnp.exp(s - m_next)
+            l_curr = l_curr + jnp.sum(p, axis=2, keepdims=True)
+            pv = pv + jax.lax.dot_general(
+                p * v_scales[:, j : j + 1, :],
+                v[:, :, j * d : (j + 1) * d],
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        l_next = alpha * l_prev + l_curr
+        acc = acc * alpha + pv
+        return m_next, l_next, acc
+
+    if kn_ref is not None:
+        k_new = kdq_ref[0, :, 0:1, :].astype(jnp.float32)  # [Hk, 1, D]
+        s_new = jax.lax.dot_general(
+            q, k_new, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [Hk, Gp, 1]
+        s_new = s_new * sm_scale
+        v_seed = vdq_ref[0, :, 0:1, :].astype(jnp.float32)
+        init = (
+            s_new,
+            jnp.ones((hk, gp, 1), jnp.float32),
+            jnp.broadcast_to(v_seed, (hk, gp, d)),
+        )
+    else:
+        init = (
+            jnp.full((hk, gp, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((hk, gp, 1), jnp.float32),
+            jnp.zeros((hk, gp, d), jnp.float32),
+        )
+    m_fin, l_fin, acc = jax.lax.fori_loop(0, n_blocks, body, init)
+    l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+    o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+
+
+def pack_kv_scales(scales, head_dim: int):
+    """[B, H, S, 1] per-token scales → kernel layout [B, H, 8, S/f] where
+    f = 128/head_dim: token t sits at row t % f, column t // f (matching the
+    folded int8 cache row index). Rows f..8 are padding (DMA slices need an
+    8-aligned sublane dim)."""
+    b, h, s, _ = scales.shape
+    f = _LANES // head_dim
+    packed = scales.reshape(b, h, s // f, f).transpose(0, 1, 3, 2)
+    return jnp.pad(packed, ((0, 0), (0, 0), (0, 8 - f), (0, 0))).astype(jnp.float32)
+
+
+def unpack_kv_scales(packed, head_dim: int):
+    """Inverse of pack_kv_scales → [B, H, S, 1]."""
+    b, h, _, s_f = packed.shape
+    f = _LANES // head_dim
+    return packed[:, :, :f, :].transpose(0, 1, 3, 2).reshape(b, h, s_f * f, 1)
+
+
+def decode_attention_int8_supported(head_dim: int, s_max: int, block_s: int = 256) -> bool:
+    bs = min(block_s, s_max)
+    rpb = bs * head_dim // _LANES
+    total_rows = s_max * head_dim // _LANES
+    return (
+        head_dim <= _LANES
+        and _LANES % head_dim == 0
+        and s_max % bs == 0
+        and (bs * head_dim) % _LANES == 0
+        and rpb % _LANES == 0  # scale-tile lane slices need 128 alignment
+        and total_rows % 32 == 0  # int8 RMW window
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "block_s", "interpret"),
+)
+def decode_attention_int8(
+    q,
+    k_cache_q,  # [B, Hk, S, D] int8
+    v_cache_q,
+    k_scales,  # [B, Hk, 8, S*D/128] f32 (kernel layout — see pack_kv_scales)
+    v_scales,
+    kv_len,
+    k_new=None,  # [B, Hk, 1, D] UNquantized — quantized + appended in place
+    v_new=None,
+    *,
+    sm_scale: float | None = None,
+    block_s: int = 256,
+    interpret: bool = False,
+):
+    """INT8-KV decode attention over the valid prefix. With k_new/v_new the
+    new token is quantized (per-head absmax), appended into the int8 caches
+    IN-KERNEL (aliased buffers — donate them), its scales spliced into the
+    scale arrays, and its score seeds the online softmax. Returns
+    (out, k_cache_q, v_cache_q, k_scales, v_scales) — or just ``out``
+    without k_new."""
+    b, h, sq, d = q.shape
+    _, hk, s_max, _ = k_cache_q.shape
+    assert sq == 1 and h % hk == 0
+    group = h // hk
+    if sm_scale is None:
+        sm_scale = 1.0 / (d**0.5)
+    kv_len = jnp.asarray(kv_len, jnp.int32).reshape(b)
+    block_s = min(block_s, s_max)
+    if not decode_attention_int8_supported(d, s_max, block_s):
+        raise ValueError(
+            f"unsupported int8-KV decode shape: head_dim={d}, s_max={s_max}, "
+            f"block_s={block_s}"
+        )
+    rows_per_block = block_s * d // _LANES
+    f = _LANES // d
+    fused_write = k_new is not None
+
+    kf = k_cache_q.reshape(b, hk, s_max * d // _LANES, _LANES)
+    vf = v_cache_q.reshape(b, hk, s_max * d // _LANES, _LANES)
+
+    gp = max(8, -(-group // 8) * 8)
+    qg = q.reshape(b, hk, group, d)
+    if gp != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
+
+    in_specs = [
+        pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    args = [kv_len, qg, kf, vf, k_scales, v_scales]
+    scratch = [
+        pltpu.VMEM((2, hk, rows_per_block, _LANES), jnp.int8),
+        pltpu.VMEM((2, hk, rows_per_block, _LANES), jnp.int8),
+        pltpu.VMEM((2, 2, hk, 8, rows_per_block), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 4)),
+    ]
+    if fused_write:
+        # Quantize the new token per head (absmax over all D lanes).
+        def quant(x):
+            absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(2, 3))
+            scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)  # [B, Hk]
+            qv = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / scale[:, :, None, None]),
+                -127,
+                127,
+            ).astype(jnp.int8)
+            return qv, scale.astype(jnp.float32)
+
+        knq, kns = quant(k_new)
+        vnq, vns = quant(v_new)
+        # The seed math uses the DEQUANTIZED new token (scalar per-head scale
+        # vectors don't map onto VPU tiles; a [Hk, 8, D] float block does).
+        kdq = (knq.astype(jnp.float32) * kns[:, :, None, None]).astype(jnp.float32)
+        vdq = (vnq.astype(jnp.float32) * vns[:, :, None, None]).astype(jnp.float32)
+        knq = jnp.pad(knq, ((0, 0), (0, 0), (0, 7), (0, 0)))
+        vnq = jnp.pad(vnq, ((0, 0), (0, 0), (0, 7), (0, 0)))
+        kdq = jnp.pad(kdq, ((0, 0), (0, 0), (0, 7), (0, 0)))
+        vdq = jnp.pad(vdq, ((0, 0), (0, 0), (0, 7), (0, 0)))
+        in_specs += [
+            pl.BlockSpec((1, hk, 8, d), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hk, 8, d), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hk, 8, d), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hk, 8, d), lambda bi, *_: (bi, 0, 0, 0)),
+        ]
+        args += [knq, vnq, kdq, vdq]
+        scratch += [
+            pltpu.VMEM((2, hk, 32, _LANES), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        out_shape = (
+            jax.ShapeDtypeStruct((b, hk, gp, d), q.dtype),
+            jax.ShapeDtypeStruct(kf.shape, kf.dtype),
+            jax.ShapeDtypeStruct(vf.shape, vf.dtype),
+        )
+        out_specs = (
+            pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        )
+        aliases = {2: 1, 3: 2}
+    else:
+        out_shape = jax.ShapeDtypeStruct((b, hk, gp, d), q.dtype)
+        out_specs = pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0))
+        aliases = {}
+
+    def kernel(kv_len_ref, q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, *rest):
+        if fused_write:
+            kn_ref, vn_ref, kdq_ref, vdq_ref = rest[0:4]
+            o_ref, ko_ref, vo_ref = rest[4:7]
+            k_buf, v_buf, s_buf, sem_, row_buf, row_sem = rest[7:]
+            k_tgt, v_tgt = ko_ref, vo_ref
+        else:
+            kn_ref = vn_ref = kdq_ref = vdq_ref = row_buf = row_sem = None
+            o_ref = rest[0]
+            k_buf, v_buf, s_buf, sem_ = rest[1:]
+            k_tgt, v_tgt = k_hbm, v_hbm
+        _decode_attn_int8_kernel(
+            kv_len_ref, q_ref, k_tgt, v_tgt, ks_hbm, vs_hbm,
+            kn_ref, vn_ref, kdq_ref, vdq_ref, o_ref,
+            k_buf, v_buf, s_buf, sem_, row_buf, row_sem,
+            block_s=block_s, rows_per_block=rows_per_block, d=d,
+            sm_scale=sm_scale,
+        )
+
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s_max * d,
+            bytes_accessed=2 * b * hk * s_max * d,
+            transcendentals=b * h * s_max,
+        ),
+        interpret=interpret,
+    )(*args)
+
+    if not fused_write:
+        return res[:, :, :group, :].reshape(b, h, 1, d)
+    out, k_out, v_out = res
+    out = out[:, :, :group, :].reshape(b, h, 1, d)
+    k_out = k_out.reshape(b, hk, s_max, d)
+    v_out = v_out.reshape(b, hk, s_max, d)
+
+    # Splice the new token's scales into the (small) scale arrays.
+    def splice(scales, new):  # scales [B,Hk,8,S_f], new [B,Hk]
+        rowi = jax.lax.rem(kv_len, f)
+        coli = (kv_len * d) // _LANES
+
+        def one(sc, nv, r, c):
+            return jax.lax.dynamic_update_slice(
+                sc, nv.reshape(hk, 1, 1), (0, r, c)
+            )
+
+        return jax.vmap(one)(scales, new, rowi, coli)
+
+    k_scales = splice(k_scales, kns)
+    v_scales = splice(v_scales, vns)
+    return out, k_out, v_out, k_scales, v_scales

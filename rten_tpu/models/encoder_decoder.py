@@ -248,6 +248,12 @@ def init_decoder_state(
         cross_k.append(xk)
         cross_v.append(xv)
 
+    if cfg.int8_kv:
+        # Round the cache up so the INT8-KV decode kernel's block/tiling
+        # constraints hold (decode_attention_int8_supported) — the extra
+        # slots are int8, so the cost is small.
+        max_len = -(-max_len // 256) * 256
+
     kv_shape = (b, h, max_len, hd)
     state: dict[str, Any] = {
         "cross_k": cross_k,
@@ -255,13 +261,18 @@ def init_decoder_state(
         "len": jnp.zeros((b,), jnp.int32),
     }
     if cfg.int8_kv:
+        from rten_tpu.kernels.decode_attention import _LANES
+
+        s_f = max_len * hd // _LANES
         state["self_k"] = [jnp.zeros(kv_shape, jnp.int8) for _ in params["dec_layers"]]
         state["self_v"] = [jnp.zeros(kv_shape, jnp.int8) for _ in params["dec_layers"]]
+        # Scales live in the decode kernel's packed layout [B, H, 8, S·D/128]
+        # (pack_kv_scales); the eager/prefill path converts on the fly.
         state["self_k_scale"] = [
-            jnp.zeros((b, h, max_len, 1), jnp.float32) for _ in params["dec_layers"]
+            jnp.zeros((b, h, 8, s_f), jnp.float32) for _ in params["dec_layers"]
         ]
         state["self_v_scale"] = [
-            jnp.zeros((b, h, max_len, 1), jnp.float32) for _ in params["dec_layers"]
+            jnp.zeros((b, h, 8, s_f), jnp.float32) for _ in params["dec_layers"]
         ]
     else:
         state["self_k"] = [jnp.zeros(kv_shape, cfg.dtype) for _ in params["dec_layers"]]
@@ -302,6 +313,30 @@ def decode(
         new_state["self_k_scale"] = list(state["self_k_scale"])
         new_state["self_v_scale"] = list(state["self_v_scale"])
 
+    from rten_tpu.kernels.decode_attention import (
+        decode_attention,
+        decode_attention_int8,
+        decode_attention_int8_supported,
+        decode_attention_supported,
+        pack_kv_scales,
+        unpack_kv_scales,
+    )
+
+    flash = use_flash if use_flash is not None else dispatch.on_tpu()
+    s_max = state["self_k"][0].shape[2]
+    int8_fast = (
+        cfg.int8_kv
+        and flash
+        and t == 1
+        and decode_attention_int8_supported(cfg.head_dim, s_max)
+    )
+    bf16_fast = (
+        not cfg.int8_kv
+        and flash
+        and t == 1
+        and decode_attention_supported(cfg.head_dim, s_max)
+    )
+
     for li, layer in enumerate(params["dec_layers"]):
         a = layer["self_attn"]
         xn = _layer_norm(x, layer["ln1"], cfg.layer_norm_eps)
@@ -309,33 +344,73 @@ def decode(
         k = _heads(dispatch.matmul(xn, a["wk"]), h)
         v = _heads(dispatch.matmul(xn, a["wv"]) + a["bv"], h)
 
-        if cfg.int8_kv:
+        if int8_fast:
+            # Single-token decode straight over the INT8 cache: the kernel
+            # quantizes+appends this token in place and never materializes a
+            # dequantized cache (the full-dequant-per-step below is the
+            # parity/prefill path only).
+            attn, k_c, v_c, ks_c, vs_c = decode_attention_int8(
+                q,
+                state["self_k"][li],
+                state["self_v"][li],
+                state["self_k_scale"][li],
+                state["self_v_scale"][li],
+                start,
+                k,
+                v,
+            )
+            new_state["self_k"][li] = k_c
+            new_state["self_v"][li] = v_c
+            new_state["self_k_scale"][li] = ks_c
+            new_state["self_v_scale"][li] = vs_c
+        elif cfg.int8_kv:
             k_q, k_s = quantize_kv(k)
             v_q, v_s = quantize_kv(v)
             new_state["self_k"][li] = _update_kv(state["self_k"][li], k_q, start)
             new_state["self_v"][li] = _update_kv(state["self_v"][li], v_q, start)
-            new_state["self_k_scale"][li] = _update_kv(
-                state["self_k_scale"][li], k_s, start
+            new_state["self_k_scale"][li] = pack_kv_scales(
+                _update_kv(
+                    unpack_kv_scales(state["self_k_scale"][li], cfg.head_dim),
+                    k_s,
+                    start,
+                ),
+                cfg.head_dim,
             )
-            new_state["self_v_scale"][li] = _update_kv(
-                state["self_v_scale"][li], v_s, start
+            new_state["self_v_scale"][li] = pack_kv_scales(
+                _update_kv(
+                    unpack_kv_scales(state["self_v_scale"][li], cfg.head_dim),
+                    v_s,
+                    start,
+                ),
+                cfg.head_dim,
             )
             k_cache = dequantize_kv(
-                new_state["self_k"][li], new_state["self_k_scale"][li], cfg.dtype
+                new_state["self_k"][li],
+                unpack_kv_scales(new_state["self_k_scale"][li], cfg.head_dim),
+                cfg.dtype,
             )
             v_cache = dequantize_kv(
-                new_state["self_v"][li], new_state["self_v_scale"][li], cfg.dtype
+                new_state["self_v"][li],
+                unpack_kv_scales(new_state["self_v_scale"][li], cfg.head_dim),
+                cfg.dtype,
             )
+        elif bf16_fast:
+            attn, k_c, v_c = decode_attention(
+                q, state["self_k"][li], state["self_v"][li], start, k, v
+            )
+            new_state["self_k"][li] = k_c
+            new_state["self_v"][li] = v_c
         else:
             k_cache = _update_kv(state["self_k"][li], k, start)
             v_cache = _update_kv(state["self_v"][li], v, start)
             new_state["self_k"][li] = k_cache
             new_state["self_v"][li] = v_cache
 
-        attn = _attend(
-            q, k_cache, v_cache,
-            causal=True, q_offset=start, kv_len=start + t, use_flash=use_flash,
-        )
+        if not (int8_fast or bf16_fast):
+            attn = _attend(
+                q, k_cache, v_cache,
+                causal=True, q_offset=start, kv_len=start + t, use_flash=use_flash,
+            )
         x = x + dispatch.matmul(_unheads(attn), a["wo"]) + a["bo"]
 
         # Cross attention over precomputed encoder K/V (full length, no mask).

@@ -258,3 +258,53 @@ def test_decode_attention_fused_cache_write(rng):
         q, kc_ref, vc_ref, causal=True, q_offset=lens, kv_len=lens + 1
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-3)
+
+
+def test_decode_attention_int8_kv(rng):
+    from rten_tpu.kernels.decode_attention import (
+        decode_attention_int8,
+        pack_kv_scales,
+        unpack_kv_scales,
+    )
+
+    b, h, hk, s, d = 1, 4, 4, 256, 64
+    q = rng.standard_normal((b, h, 1, d)).astype(np.float32) * 0.3
+    kfp = rng.standard_normal((b, hk, s, d)).astype(np.float32) * 0.3
+    vfp = rng.standard_normal((b, hk, s, d)).astype(np.float32)
+
+    def quant(x):
+        absmax = np.abs(x).max(-1, keepdims=True)
+        sc = np.where(absmax == 0, 1.0, absmax / 127.0)
+        return np.clip(np.round(x / sc), -127, 127).astype(np.int8), sc.astype(
+            np.float32
+        )
+
+    kq, ks = quant(kfp)
+    vq, vs = quant(vfp)
+    ksp = pack_kv_scales(jnp.asarray(ks), d)
+    # pack/unpack round-trip
+    np.testing.assert_allclose(np.asarray(unpack_kv_scales(ksp, d)), ks)
+    vsp = pack_kv_scales(jnp.asarray(vs), d)
+    kn = rng.standard_normal((b, hk, 1, d)).astype(np.float32) * 0.3
+    vn = rng.standard_normal((b, hk, 1, d)).astype(np.float32)
+    lens = np.array([100], np.int32)
+
+    out, k2, v2, ks2, vs2 = decode_attention_int8(
+        jnp.asarray(q), jnp.asarray(kq), jnp.asarray(vq), ksp, vsp,
+        jnp.asarray(lens), jnp.asarray(kn), jnp.asarray(vn), interpret=True,
+    )
+    # reference over the dequantized cache with the token appended
+    kd = kq.astype(np.float32) * ks
+    vd = vq.astype(np.float32) * vs
+    for arrs, new in ((kd, kn), (vd, vn)):
+        nb = new[0, :, 0]
+        am = np.abs(nb).max(-1, keepdims=True)
+        sc = np.where(am == 0, 1.0, am / 127.0)
+        arrs[0, :, lens[0]] = np.clip(np.round(nb / sc), -127, 127) * sc
+    ref = attention_reference(
+        q, kd, vd, causal=True, q_offset=lens, kv_len=lens + 1
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=2e-3)
+    # cache contents dequantize exactly to the reference splice
+    k2d = np.asarray(k2).astype(np.float32) * np.asarray(unpack_kv_scales(ks2, d))
+    np.testing.assert_allclose(k2d, kd, atol=1e-6)
