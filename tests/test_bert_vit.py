@@ -141,3 +141,27 @@ def test_vit_patchify_round_trip(rng):
     # First patch = top-left 4x4 block of each channel, channel-major.
     expect = imgs[0, :, :4, :4].reshape(-1)
     np.testing.assert_allclose(patches[0, 0], expect)
+
+
+def test_mobilenet_forward_and_int8(rng):
+    from rten_tpu.models import mobilenet
+
+    cfg = mobilenet.MOBILENET_TINY
+    params = mobilenet.init_params(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(rng.standard_normal((2, 3, 32, 32)).astype(np.float32))
+    logits = mobilenet.forward(params, cfg, imgs)
+    assert logits.shape == (2, 10)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    qparams = mobilenet.quantize_params_int8(params)
+    logits_q = mobilenet.forward(qparams, cfg, imgs)
+    rel = np.abs(np.asarray(logits_q) - np.asarray(logits)).max() / (
+        np.abs(np.asarray(logits)).max() + 1e-9
+    )
+    assert rel < 0.1, rel
+
+    # jitted entry compiles and matches eager
+    logits_j = mobilenet.predict(params, cfg, imgs)
+    np.testing.assert_allclose(
+        np.asarray(logits_j), np.asarray(logits), rtol=1e-4, atol=1e-4
+    )
