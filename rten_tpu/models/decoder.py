@@ -567,3 +567,87 @@ def generate_scan(
         body, (cache, last_tokens, rng), None, length=n_steps
     )
     return jnp.transpose(toks, (1, 0)), cache
+
+
+def from_hf_gpt2(hf_state: dict, cfg: DecoderConfig, dtype=None) -> dict:
+    """Convert a HuggingFace ``GPT2LMHeadModel``/``GPT2Model`` state dict into
+    this module's params pytree (parity-test path, mirroring the reference's
+    PyTorch reference fixtures — SURVEY.md §4). GPT-2 Conv1D weights are
+    already [in, out], so no transpose."""
+    import numpy as np
+
+    dtype = dtype or cfg.dtype
+
+    def g(name):
+        key = name if name in hf_state else "transformer." + name
+        return jnp.asarray(np.asarray(hf_state[key].detach().cpu()), dtype)
+
+    params: dict = {
+        "tok_emb": g("wte.weight"),
+        "pos_emb": g("wpe.weight"),
+        "final_norm": {"scale": g("ln_f.weight"), "bias": g("ln_f.bias")},
+        "layers": [],
+    }
+    for i in range(cfg.n_layers):
+        p = f"h.{i}."
+        c_attn_w = g(p + "attn.c_attn.weight")  # [D, 3D]
+        c_attn_b = g(p + "attn.c_attn.bias")
+        d = cfg.d_model
+        params["layers"].append(
+            {
+                "ln1": {"scale": g(p + "ln_1.weight"), "bias": g(p + "ln_1.bias")},
+                "ln2": {"scale": g(p + "ln_2.weight"), "bias": g(p + "ln_2.bias")},
+                "wq": c_attn_w[:, :d],
+                "bq": c_attn_b[:d],
+                "wk": c_attn_w[:, d : 2 * d],
+                "bk": c_attn_b[d : 2 * d],
+                "wv": c_attn_w[:, 2 * d :],
+                "bv": c_attn_b[2 * d :],
+                "wo": g(p + "attn.c_proj.weight"),
+                "bo": g(p + "attn.c_proj.bias"),
+                "w_up": g(p + "mlp.c_fc.weight"),
+                "b_up": g(p + "mlp.c_fc.bias"),
+                "w_down": g(p + "mlp.c_proj.weight"),
+                "b_down": g(p + "mlp.c_proj.bias"),
+            }
+        )
+    return params
+
+
+def from_hf_llama(hf_state: dict, cfg: DecoderConfig, dtype=None) -> dict:
+    """Convert a HuggingFace ``LlamaForCausalLM``/``LlamaModel`` state dict
+    (RoPE + RMSNorm + SwiGLU + GQA) into this module's params pytree.
+    nn.Linear weights are [out, in] → transposed."""
+    import numpy as np
+
+    dtype = dtype or cfg.dtype
+
+    def g(name):
+        key = name if name in hf_state else "model." + name
+        return jnp.asarray(np.asarray(hf_state[key].detach().cpu()), dtype)
+
+    params: dict = {
+        "tok_emb": g("embed_tokens.weight"),
+        "final_norm": {"scale": g("norm.weight")},
+        "layers": [],
+    }
+    if any(k.endswith("lm_head.weight") for k in hf_state):
+        params["lm_head"] = g("lm_head.weight").T
+    else:
+        params["lm_head"] = g("embed_tokens.weight").T  # tied
+    for i in range(cfg.n_layers):
+        p = f"layers.{i}."
+        params["layers"].append(
+            {
+                "ln1": {"scale": g(p + "input_layernorm.weight")},
+                "ln2": {"scale": g(p + "post_attention_layernorm.weight")},
+                "wq": g(p + "self_attn.q_proj.weight").T,
+                "wk": g(p + "self_attn.k_proj.weight").T,
+                "wv": g(p + "self_attn.v_proj.weight").T,
+                "wo": g(p + "self_attn.o_proj.weight").T,
+                "w_gate": g(p + "mlp.gate_proj.weight").T,
+                "w_up": g(p + "mlp.up_proj.weight").T,
+                "w_down": g(p + "mlp.down_proj.weight").T,
+            }
+        )
+    return params

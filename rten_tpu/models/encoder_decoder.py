@@ -445,3 +445,75 @@ def encode_jit(params, cfg: EncDecConfig, mel):
 @functools.partial(jax.jit, static_argnames=("cfg", "use_flash"), donate_argnums=(3,))
 def decode_step(params, cfg: EncDecConfig, tokens, state, *, use_flash=None):
     return decode(params, cfg, tokens, state, use_flash=use_flash)
+
+
+def from_hf_whisper(hf_state: dict, cfg: EncDecConfig, dtype=None) -> dict:
+    """Convert a HuggingFace ``WhisperModel`` state dict into this module's
+    params pytree (nn.Linear weights [out, in] → transposed; k_proj has no
+    bias in Whisper, matching _attn_params). Encoder sinusoidal positions are
+    recomputed (verified identical to HF's buffer to ~1e-6)."""
+    import numpy as np
+
+    dtype = dtype or cfg.dtype
+
+    def g(name):
+        key = name if name in hf_state else "model." + name
+        return jnp.asarray(np.asarray(hf_state[key].detach().cpu()), dtype)
+
+    def attn(prefix):
+        return {
+            "wq": g(prefix + "q_proj.weight").T,
+            "bq": g(prefix + "q_proj.bias"),
+            "wk": g(prefix + "k_proj.weight").T,
+            "wv": g(prefix + "v_proj.weight").T,
+            "bv": g(prefix + "v_proj.bias"),
+            "wo": g(prefix + "out_proj.weight").T,
+            "bo": g(prefix + "out_proj.bias"),
+        }
+
+    def ln(prefix):
+        return {"scale": g(prefix + "weight"), "bias": g(prefix + "bias")}
+
+    def mlp(prefix):
+        return {
+            "w_up": g(prefix + "fc1.weight").T,
+            "b_up": g(prefix + "fc1.bias"),
+            "w_down": g(prefix + "fc2.weight").T,
+            "b_down": g(prefix + "fc2.bias"),
+        }
+
+    params: dict = {
+        "enc_conv1": g("encoder.conv1.weight"),
+        "enc_conv1_b": g("encoder.conv1.bias"),
+        "enc_conv2": g("encoder.conv2.weight"),
+        "enc_conv2_b": g("encoder.conv2.bias"),
+        "enc_ln_post": ln("encoder.layer_norm."),
+        "tok_emb": g("decoder.embed_tokens.weight"),
+        "pos_emb": g("decoder.embed_positions.weight"),
+        "dec_ln": ln("decoder.layer_norm."),
+        "enc_layers": [],
+        "dec_layers": [],
+    }
+    for i in range(cfg.n_audio_layers):
+        p = f"encoder.layers.{i}."
+        params["enc_layers"].append(
+            {
+                "ln1": ln(p + "self_attn_layer_norm."),
+                "attn": attn(p + "self_attn."),
+                "ln2": ln(p + "final_layer_norm."),
+                "mlp": mlp(p),
+            }
+        )
+    for i in range(cfg.n_text_layers):
+        p = f"decoder.layers.{i}."
+        params["dec_layers"].append(
+            {
+                "ln1": ln(p + "self_attn_layer_norm."),
+                "self_attn": attn(p + "self_attn."),
+                "ln_x": ln(p + "encoder_attn_layer_norm."),
+                "cross_attn": attn(p + "encoder_attn."),
+                "ln2": ln(p + "final_layer_norm."),
+                "mlp": mlp(p),
+            }
+        )
+    return params

@@ -4,6 +4,8 @@ the reference's KV-cache ownership tests)."""
 
 import itertools
 
+import jax.numpy as jnp
+
 import jax
 import numpy as np
 import pytest
@@ -224,3 +226,73 @@ def test_top_p_respects_nucleus():
     for i in range(10):
         tok = TopPSampler(p=0.5).sample(jax.random.PRNGKey(i), logits)
         assert int(tok[0]) == 0
+
+
+def test_decoder_matches_huggingface_gpt2():
+    torch = pytest.importorskip("torch")
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    torch.manual_seed(0)
+    hf_cfg = GPT2Config(
+        vocab_size=96,
+        n_positions=32,
+        n_embd=64,
+        n_layer=2,
+        n_head=4,
+        activation_function="gelu",  # exact erf gelu, like our kernel
+        resid_pdrop=0.0,
+        embd_pdrop=0.0,
+        attn_pdrop=0.0,
+        layer_norm_epsilon=1e-5,
+    )
+    hf = GPT2LMHeadModel(hf_cfg).eval()
+
+    cfg = decoder.DecoderConfig(
+        vocab_size=96, n_layers=2, n_heads=4, d_model=64, d_ff=256, max_seq=32,
+        dtype=jnp.float32,
+    )
+    params = decoder.from_hf_gpt2(hf.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 96, (2, 7)).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    got, _ = decoder.forward(params, cfg, jnp.asarray(ids, jnp.int32), None, use_flash=False)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-4)
+
+
+def test_decoder_matches_huggingface_llama():
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = LlamaConfig(
+        vocab_size=96,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,  # GQA
+        max_position_embeddings=32,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        attention_bias=False,
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    hf = LlamaForCausalLM(hf_cfg).eval()
+
+    cfg = decoder.DecoderConfig(
+        vocab_size=96, n_layers=2, n_heads=4, n_kv_heads=2, d_model=64,
+        d_ff=128, max_seq=32, pos_encoding="rope", norm="rmsnorm",
+        activation="swiglu", tie_embeddings=False, layer_norm_eps=1e-6,
+        dtype=jnp.float32,
+    )
+    params = decoder.from_hf_llama(hf.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 96, (2, 9)).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    got, _ = decoder.forward(params, cfg, jnp.asarray(ids, jnp.int32), None, use_flash=False)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=3e-4)

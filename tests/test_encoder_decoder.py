@@ -4,6 +4,7 @@ consistency, cross-attention KV reuse, INT8 KV fidelity."""
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -134,3 +135,48 @@ def test_generation_loop_with_generator(setup):
     gen = Generator(EncDecBackend(), GeneratorConfig(max_tokens=5)).with_prompt([1])
     toks = [int(t[0]) for t in gen]
     assert len(toks) == 5
+
+
+def test_matches_huggingface_whisper():
+    torch = pytest.importorskip("torch")
+    from transformers import WhisperConfig, WhisperModel
+
+    torch.manual_seed(0)
+    hf_cfg = WhisperConfig(
+        vocab_size=96, d_model=64, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=128, decoder_ffn_dim=128, num_mel_bins=16,
+        max_source_positions=32, max_target_positions=32,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=1, dropout=0.0, attn_implementation="eager",
+    )
+    hf = WhisperModel(hf_cfg).eval()
+
+    cfg = ed.EncDecConfig(
+        n_mels=16, n_audio_ctx=32, vocab_size=96, d_model=64, n_heads=4,
+        n_audio_layers=2, n_text_layers=2, d_ff=128, max_text_ctx=32,
+        dtype=jnp.float32,
+    )
+    params = ed.from_hf_whisper(hf.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, 16, 64)).astype(np.float32)  # 2x source positions
+    dec_ids = rng.integers(0, 96, (1, 5)).astype(np.int64)
+
+    with torch.no_grad():
+        out = hf(
+            input_features=torch.tensor(mel),
+            decoder_input_ids=torch.tensor(dec_ids),
+        )
+        enc_ref = out.encoder_last_hidden_state.numpy()
+        dec_ref = out.last_hidden_state.numpy()
+
+    enc = ed.encode(params, cfg, jnp.asarray(mel))
+    np.testing.assert_allclose(np.asarray(enc), enc_ref, rtol=2e-3, atol=3e-4)
+
+    state = ed.init_decoder_state(params, cfg, enc)
+    logits, _ = ed.decode(params, cfg, jnp.asarray(dec_ids, jnp.int32), state, use_flash=False)
+    # our decode returns logits = hidden @ tok_emb.T; compare hidden via HF's
+    # last_hidden_state @ tok_emb.T for a like-for-like check
+    ref_logits = dec_ref @ np.asarray(params["tok_emb"], np.float32).T
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=2e-3, atol=3e-4)
