@@ -104,6 +104,38 @@ def main() -> None:
     hbm_bw = 8.1e11  # v5e ≈ 810 GB/s
     roofline_tok_s = hbm_bw / (weight_bytes + kv_bytes)
 
+    # Secondary: prefill-regime fused dequant+matmul TFLOP/s vs MXU peak
+    # (BASELINE "≥90% of per-chip roofline" for the compute-bound kernel).
+    from rten_tpu.kernels.quant_matmul import quant_matmul_int8, quantize_weights_int8
+    from rten_tpu.utils.bench import marginal_step_time
+
+    n = 2048
+    rng2 = np.random.default_rng(1)
+    a0 = jnp.asarray(
+        rng2.standard_normal((n, n)).astype(np.float32).astype(jnp.bfloat16)
+    )
+    qw, qs = quantize_weights_int8(rng2.standard_normal((n, n)).astype(np.float32))
+    qd, sd = jnp.asarray(qw), jnp.asarray(qs)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def mm_chain(steps):
+        def body(c, _):
+            return quant_matmul_int8(c, qd, sd).astype(jnp.bfloat16), None
+
+        return jax.lax.scan(body, a0, None, length=steps)[0]
+
+    # The chip is time-shared (tunnel): single slope estimates swing ~2x
+    # with contention. Repeat the measurement and keep the fastest — the
+    # same min-time philosophy as the per-run timings above.
+    mm_step = min(
+        marginal_step_time(lambda s: mm_chain(steps=s), 8, 40, trials=6)
+        for _ in range(3)
+    )
+    tflops = 2 * n**3 / mm_step / 1e12
+    mxu_peak_tflops = 197.0  # v5e bf16
+
     print(
         json.dumps(
             {
@@ -118,6 +150,8 @@ def main() -> None:
                     "wall_s": round(wall, 2),
                     "roofline_tok_s": round(roofline_tok_s, 1),
                     "weight_mbytes": round(weight_bytes / 1e6, 1),
+                    "prefill_dequant_matmul_tflops": round(tflops, 1),
+                    "prefill_vs_mxu_peak": round(tflops / mxu_peak_tflops, 4),
                     "backend": jax.default_backend(),
                 },
             }
