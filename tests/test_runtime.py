@@ -265,3 +265,22 @@ def test_total_params():
     g = mlp_graph()
     model = Model(g, options=ModelOptions(enable_optimization=False))
     assert model.total_params() == 8 * 16 + 16 * 4 + 4
+
+
+def test_profiler_trace_and_step_timer(tmp_path):
+    import jax.numpy as jnp
+
+    import os
+
+    from rten_tpu.runtime import profiler
+
+    with profiler.trace(str(tmp_path / "trace")) as d:
+        _ = jnp.ones(8) * 2
+    assert os.path.isdir(d) and os.listdir(d)  # trace files written
+
+    t = profiler.StepTimer()
+    for _ in range(3):
+        with t:
+            pass
+    assert len(t.times_s) == 3
+    assert "steps" in t.summary()
