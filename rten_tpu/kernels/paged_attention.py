@@ -1,0 +1,335 @@
+"""Paged decode attention (Pallas TPU): virtual-memory KV cache.
+
+Continuous batching with contiguous per-slot caches (serve/engine.py) wastes
+HBM on the max_len × max_batch rectangle; paged attention (the vLLM design,
+guide §8-13) allocates fixed-size KV PAGES from a shared pool and maps each
+sequence's logical positions to physical pages via a per-sequence page
+table. Pages are non-contiguous, so the kernel issues one DMA per page
+(double-buffered — latency of page i+1 hides under compute on page i), with
+the page table delivered through scalar prefetch.
+
+Layout mirrors decode_attention's folded trick: pages are stored
+[Hk, n_pages, page_size·D/128, 128] so every DMA is 128-lane aligned; the
+f = 128/D packed token sub-columns are scored under one joint online
+softmax.
+
+The new token's K/V append is fused: the kernel RMWs the 8-row window of
+the page holding position kv_len (pages are aliased input→output buffers —
+donate them).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+_LANES = 128
+
+
+def _paged_attn_kernel(
+    # scalar prefetch
+    kv_len_ref,  # [B]
+    pt_ref,  # [B * max_pages] page table (row-major)
+    # inputs
+    q_ref,  # [1, Hk, Gp, D] VMEM
+    k_hbm,  # [Hk, n_pages, rows_per_page, 128] ANY (aliased output)
+    v_hbm,
+    kn_ref,  # [1, Hk, 8, D] or None
+    vn_ref,
+    # outputs
+    o_ref,
+    # scratch
+    k_buf,  # [2, Hk, rows_per_page, 128]
+    v_buf,
+    sem,
+    row_buf,  # [2, Hk, 8, 128] or None
+    row_sem,
+    *,
+    page_size: int,
+    rows_per_page: int,
+    max_pages: int,
+    d: int,
+    sm_scale: float,
+):
+    b = pl.program_id(0)
+    length = kv_len_ref[b]
+    n_blocks = pl.cdiv(length, page_size)
+    f = _LANES // d
+    hk = q_ref.shape[1]
+    gp = q_ref.shape[2]
+
+    def dma(buf_slot, blk_idx):
+        page = pt_ref[b * max_pages + blk_idx]
+        kc = pltpu.make_async_copy(
+            k_hbm.at[:, page], k_buf.at[buf_slot], sem.at[buf_slot, 0]
+        )
+        vc = pltpu.make_async_copy(
+            v_hbm.at[:, page], v_buf.at[buf_slot], sem.at[buf_slot, 1]
+        )
+        return kc, vc
+
+    @pl.when(n_blocks > 0)
+    def _warmup():
+        kc0, vc0 = dma(0, 0)
+        kc0.start()
+        vc0.start()
+
+    if kn_ref is not None:
+        # Append into the page holding position ``length``.
+        page = pt_ref[b * max_pages + length // page_size]
+        inpage = jax.lax.rem(length, page_size)
+        row = (inpage * d) // _LANES
+        row8 = (row // 8) * 8
+        local = row - row8
+        sub = jax.lax.rem(inpage, f)
+
+        def rmw(src_new_ref, hbm, which):
+            rd = pltpu.make_async_copy(
+                hbm.at[:, page, pl.ds(row8, 8), :],
+                row_buf.at[which],
+                row_sem.at[which],
+            )
+            rd.start()
+            rd.wait()
+            old = row_buf[which]  # [Hk, 8, 128]
+            new = src_new_ref[0, :, 0:1, :]
+            tiled = jnp.concatenate([new] * f, axis=-1) if f > 1 else new
+            lane = jax.lax.broadcasted_iota(jnp.int32, (hk, 8, _LANES), 2)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (hk, 8, _LANES), 1)
+            hit = jnp.logical_and(rows == local, lane // d == sub)
+            row_buf[which] = jnp.where(hit, tiled.astype(old.dtype), old)
+            wr = pltpu.make_async_copy(
+                row_buf.at[which],
+                hbm.at[:, page, pl.ds(row8, 8), :],
+                row_sem.at[which],
+            )
+            wr.start()
+            wr.wait()
+
+        rmw(kn_ref, k_hbm, 0)
+        rmw(vn_ref, v_hbm, 1)
+
+    q = q_ref[0].astype(jnp.float32)
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        slot = jax.lax.rem(i, 2)
+        next_slot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_blocks)
+        def _prefetch():
+            kn, vn = dma(next_slot, i + 1)
+            kn.start()
+            vn.start()
+
+        kw, vw = dma(slot, i)
+        kw.wait()
+        k = k_buf[slot].astype(jnp.float32)
+
+        base = i * page_size
+        row_tok = jax.lax.broadcasted_iota(jnp.int32, (hk, gp, rows_per_page), 2) * f
+        s_parts = []
+        for j in range(f):
+            kj = k[:, :, j * d : (j + 1) * d]
+            s = jax.lax.dot_general(
+                q, kj, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            if sm_scale != 1.0:
+                s = s * sm_scale
+            s = jnp.where(base + row_tok + j < length, s, DEFAULT_MASK_VALUE)
+            s_parts.append(s)
+
+        m_curr = s_parts[0].max(axis=2, keepdims=True)
+        for s in s_parts[1:]:
+            m_curr = jnp.maximum(m_curr, s.max(axis=2, keepdims=True))
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+
+        vw.wait()
+        v = v_buf[slot].astype(jnp.float32)
+
+        l_curr = jnp.zeros_like(l_prev)
+        pv = jnp.zeros_like(acc)
+        for j, s in enumerate(s_parts):
+            p = jnp.exp(s - m_next)
+            l_curr = l_curr + jnp.sum(p, axis=2, keepdims=True)
+            pv = pv + jax.lax.dot_general(
+                p, v[:, :, j * d : (j + 1) * d],
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        l_next = alpha * l_prev + l_curr
+        acc = acc * alpha + pv
+        return m_next, l_next, acc
+
+    if kn_ref is not None:
+        k_new = kn_ref[0, :, 0:1, :].astype(jnp.float32)
+        s_new = jax.lax.dot_general(
+            q, k_new, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if sm_scale != 1.0:
+            s_new = s_new * sm_scale
+        init = (
+            s_new,
+            jnp.ones((hk, gp, 1), jnp.float32),
+            jnp.broadcast_to(vn_ref[0, :, 0:1, :].astype(jnp.float32), (hk, gp, d)),
+        )
+    else:
+        init = (
+            jnp.full((hk, gp, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((hk, gp, 1), jnp.float32),
+            jnp.zeros((hk, gp, d), jnp.float32),
+        )
+    m_fin, l_fin, acc = jax.lax.fori_loop(0, n_blocks, body, init)
+    l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+    o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+
+
+def paged_attention_supported(head_dim: int, page_size: int) -> bool:
+    return (
+        head_dim <= _LANES
+        and _LANES % head_dim == 0
+        and (page_size * head_dim) % (8 * _LANES) == 0
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "page_size", "interpret"),
+)
+def paged_decode_attention(
+    q,  # [B, H, 1, D]
+    k_pages,  # [Hk, n_pages, page_size, D]
+    v_pages,
+    page_table,  # [B, max_pages] i32 physical page per logical block
+    kv_len,  # [B]
+    k_new=None,  # [B, Hk, 1, D] appended at kv_len (page must be allocated)
+    v_new=None,
+    *,
+    sm_scale: float | None = None,
+    page_size: int | None = None,
+    interpret: bool = False,
+):
+    """Decode attention over a paged KV pool. With k_new/v_new the token is
+    appended in place (pages aliased input→output — donate them) and its
+    score seeds the softmax; returns (out, k_pages, v_pages), else just out.
+    """
+    b, h, sq, d = q.shape
+    hk, n_pages, psz, _ = k_pages.shape
+    if page_size is None:
+        page_size = psz
+    assert sq == 1 and h % hk == 0 and psz == page_size
+    group = h // hk
+    if sm_scale is None:
+        sm_scale = 1.0 / (d**0.5)
+    if not paged_attention_supported(d, page_size):
+        raise ValueError(f"unsupported paged shape: head_dim={d}, page_size={page_size}")
+    kv_len = jnp.asarray(kv_len, jnp.int32).reshape(b)
+    max_pages = page_table.shape[1]
+    pt_flat = page_table.astype(jnp.int32).reshape(-1)
+    rows_per_page = page_size * d // _LANES
+    fused_write = k_new is not None
+
+    kf = k_pages.reshape(hk, n_pages, rows_per_page, _LANES)
+    vf = v_pages.reshape(hk, n_pages, rows_per_page, _LANES)
+
+    gp = max(8, -(-group // 8) * 8)
+    qg = q.reshape(b, hk, group, d)
+    if gp != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
+
+    in_specs = [
+        pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    args = [kv_len, pt_flat, qg, kf, vf]
+    scratch = [
+        pltpu.VMEM((2, hk, rows_per_page, _LANES), k_pages.dtype),
+        pltpu.VMEM((2, hk, rows_per_page, _LANES), v_pages.dtype),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+    if fused_write:
+        knp = jnp.pad(k_new, ((0, 0), (0, 0), (0, 7), (0, 0)))
+        vnp = jnp.pad(v_new, ((0, 0), (0, 0), (0, 7), (0, 0)))
+        in_specs += [
+            pl.BlockSpec((1, hk, 8, d), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hk, 8, d), lambda bi, *_: (bi, 0, 0, 0)),
+        ]
+        args += [knp, vnp]
+        scratch += [
+            pltpu.VMEM((2, hk, 8, _LANES), k_pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        out_shape = (
+            jax.ShapeDtypeStruct((b, hk, gp, d), q.dtype),
+            jax.ShapeDtypeStruct(kf.shape, kf.dtype),
+            jax.ShapeDtypeStruct(vf.shape, vf.dtype),
+        )
+        out_specs = (
+            pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        )
+        # operand indices incl. scalar prefetch: 0=kv_len, 1=pt, 2=q, 3=k, 4=v
+        aliases = {3: 1, 4: 2}
+    else:
+        out_shape = jax.ShapeDtypeStruct((b, hk, gp, d), q.dtype)
+        out_specs = pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0))
+        aliases = {}
+
+    def kernel(kv_len_ref, pt_ref, q_ref, k_hbm, v_hbm, *rest):
+        if fused_write:
+            kn_ref, vn_ref, o_ref = rest[0], rest[1], rest[2]
+            ko_ref, vo_ref = rest[3], rest[4]
+            k_buf, v_buf, sem_, row_buf, row_sem = rest[5:]
+            k_tgt, v_tgt = ko_ref, vo_ref
+        else:
+            kn_ref = vn_ref = row_buf = row_sem = None
+            o_ref = rest[0]
+            k_buf, v_buf, sem_ = rest[1:]
+            k_tgt, v_tgt = k_hbm, v_hbm
+        _paged_attn_kernel(
+            kv_len_ref, pt_ref, q_ref, k_tgt, v_tgt, kn_ref, vn_ref, o_ref,
+            k_buf, v_buf, sem_, row_buf, row_sem,
+            page_size=page_size, rows_per_page=rows_per_page,
+            max_pages=max_pages, d=d, sm_scale=sm_scale,
+        )
+
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * max_pages * page_size * d,
+            bytes_accessed=2 * b * hk * max_pages * page_size * d
+            * k_pages.dtype.itemsize,
+            transcendentals=b * h * max_pages * page_size,
+        ),
+        interpret=interpret,
+    )(*args)
+    if not fused_write:
+        return res[:, :, :group, :].reshape(b, h, 1, d)
+    out, k_out, v_out = res
+    return (
+        out[:, :, :group, :].reshape(b, h, 1, d),
+        k_out.reshape(hk, n_pages, page_size, d),
+        v_out.reshape(hk, n_pages, page_size, d),
+    )

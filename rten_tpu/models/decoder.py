@@ -404,13 +404,34 @@ def forward(
             decode_attention_supported,
         )
 
+        paged = cache is not None and "k_pages" in cache
         decode_fast = (
             use_flash
             and cache is not None
+            and not paged
             and t == 1
             and decode_attention_supported(hd, cache["k"][li].shape[2])
         )
-        if decode_fast:
+        if paged:
+            # Paged KV pool (serve/paged.py): pages are non-contiguous; the
+            # Pallas kernel gathers them via the page table and appends this
+            # token's k/v in place (interpret mode off-TPU for tests).
+            from rten_tpu.kernels.paged_attention import paged_decode_attention
+
+            assert t == 1, "paged cache supports single-token decode only"
+            attn, kp, vp = paged_decode_attention(
+                q,
+                cache["k_pages"][li],
+                cache["v_pages"][li],
+                cache["page_table"],
+                start,
+                k,
+                v,
+                interpret=not dispatch.on_tpu(),
+            )
+            new_k_layers.append(kp)
+            new_v_layers.append(vp)
+        elif decode_fast:
             # Single-token decode: the prefix-bounded kernel appends this
             # token's k/v into the cache IN-KERNEL (aliased buffers — no XLA
             # dynamic_update_slice, which costs ~70 µs/step in carry copies)
@@ -435,7 +456,7 @@ def forward(
             attn_in = (q, k, v)
             q_offset = jnp.zeros((b,), jnp.int32)
 
-        if decode_fast:
+        if paged or decode_fast:
             pass  # attn computed above
         elif use_flash:
             attn = flash_attention(
@@ -494,11 +515,19 @@ def forward(
             logits = _proj(xn, head, out_dim=cfg.vocab_size)
 
     if cache is not None:
-        new_cache = {
-            "k": new_k_layers,
-            "v": new_v_layers,
-            "len": cache["len"] + t,
-        }
+        if "k_pages" in cache:
+            new_cache = {
+                "k_pages": new_k_layers,
+                "v_pages": new_v_layers,
+                "page_table": cache["page_table"],
+                "len": cache["len"] + t,
+            }
+        else:
+            new_cache = {
+                "k": new_k_layers,
+                "v": new_v_layers,
+                "len": cache["len"] + t,
+            }
         return logits.astype(jnp.float32), new_cache
     return logits.astype(jnp.float32), None
 

@@ -128,3 +128,50 @@ def test_engine_sharded_matches_unsharded():
         eng.submit(Request(prompt=prompt, max_new_tokens=6))
     out = {tuple(r.prompt): r.output for r in eng.run()}
     assert out == ref_out
+
+
+def test_paged_engine_matches_slot_engine():
+    """Paged KV pool serving produces the same tokens as the slot engine
+    (SURVEY.md §7 "paged KV cache" — the vLLM-style allocator)."""
+    import jax
+    from rten_tpu.serve.paged import PagedServingEngine
+
+    cfg = decoder.DecoderConfig(
+        vocab_size=128, n_layers=2, n_heads=4, d_model=64, d_ff=128, max_seq=512
+    )
+    params = decoder.init_params(jax.random.PRNGKey(0), cfg)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [11, 12]]
+
+    ref = ServingEngine(params, cfg, max_batch=3, seed=0)
+    for p in prompts:
+        ref.submit(Request(prompt=p, max_new_tokens=6))
+    ref_out = {tuple(r.prompt): r.output for r in ref.run()}
+
+    eng = PagedServingEngine(
+        params, cfg, max_batch=3, n_pages=12, page_size=128, seed=0
+    )
+    for p in prompts:
+        eng.submit(Request(prompt=p, max_new_tokens=6))
+    out = {tuple(r.prompt): r.output for r in eng.run()}
+    assert out == ref_out
+
+    # All pages returned to the pool after retirement.
+    assert eng.pool.n_free == eng.pool.n_pages
+
+
+def test_paged_engine_page_pressure():
+    """More requests than the pool can hold at once: admission waits for
+    freed pages and every request still completes."""
+    import jax
+    from rten_tpu.serve.paged import PagedServingEngine
+
+    cfg = decoder.DecoderConfig(
+        vocab_size=64, n_layers=1, n_heads=2, d_model=32, d_ff=64, max_seq=512
+    )
+    params = decoder.init_params(jax.random.PRNGKey(1), cfg)
+    eng = PagedServingEngine(params, cfg, max_batch=2, n_pages=4, page_size=128, seed=0)
+    reqs = [eng.submit(Request(prompt=[i + 1, i + 2], max_new_tokens=4)) for i in range(5)]
+    done = eng.run()
+    assert len(done) == 5
+    assert all(len(r.output) == 4 for r in reqs)
+    assert eng.pool.n_free == 4
