@@ -50,6 +50,7 @@ class DecoderConfig:
     layer_norm_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
     tie_embeddings: bool = True
+    int8_kv: bool = False  # INT8 KV cache (per-token/head scales)
 
     @property
     def kv_heads(self) -> int:
@@ -212,9 +213,32 @@ def init_cache(cfg: DecoderConfig, batch: int, max_len: int | None = None) -> di
     head_dim] + per-sequence lengths. Per-layer leaves (not one stacked
     array) so each step's dynamic_update_slice aliases its own donated
     buffer — a stacked layout would force XLA to materialize a full cache
-    copy per step. Zero reallocation during generation."""
+    copy per step. Zero reallocation during generation.
+
+    With cfg.int8_kv the k/v arrays are int8 with per-(token, head) f32
+    scales stored in the decode kernel's packed layout (pack_kv_scales) —
+    halves KV HBM traffic AND the scan-carry copy bytes."""
     max_len = max_len or cfg.max_seq
+    if cfg.int8_kv:
+        max_len = -(-max_len // 256) * 256  # int8 decode-kernel alignment
     shape = (batch, cfg.kv_heads, max_len, cfg.head_dim)
+    if cfg.int8_kv:
+        from rten_tpu.kernels.decode_attention import _LANES
+
+        s_f = max_len * cfg.head_dim // _LANES
+        return {
+            "k": [jnp.zeros(shape, jnp.int8) for _ in range(cfg.n_layers)],
+            "v": [jnp.zeros(shape, jnp.int8) for _ in range(cfg.n_layers)],
+            "k_scale": [
+                jnp.zeros((batch, cfg.kv_heads, 8, s_f), jnp.float32)
+                for _ in range(cfg.n_layers)
+            ],
+            "v_scale": [
+                jnp.zeros((batch, cfg.kv_heads, 8, s_f), jnp.float32)
+                for _ in range(cfg.n_layers)
+            ],
+            "len": jnp.zeros((batch,), jnp.int32),
+        }
     return {
         "k": [jnp.zeros(shape, cfg.dtype) for _ in range(cfg.n_layers)],
         "v": [jnp.zeros(shape, cfg.dtype) for _ in range(cfg.n_layers)],
@@ -371,6 +395,8 @@ def forward(
 
     new_k_layers = []
     new_v_layers = []
+    new_ks_layers = []
+    new_vs_layers = []
     for li, layer in enumerate(params["layers"]):
         resid = x
         xn = None if fuse else _norm(x, layer["ln1"], cfg)
@@ -405,12 +431,27 @@ def forward(
         )
 
         paged = cache is not None and "k_pages" in cache
+        int8_kv = cfg.int8_kv and cache is not None and not paged
+        if int8_kv:
+            from rten_tpu.kernels.decode_attention import (
+                decode_attention_int8,
+                decode_attention_int8_supported,
+                pack_kv_scales,
+                unpack_kv_scales,
+            )
         decode_fast = (
             use_flash
             and cache is not None
             and not paged
+            and not int8_kv
             and t == 1
             and decode_attention_supported(hd, cache["k"][li].shape[2])
+        )
+        int8_fast = (
+            int8_kv
+            and use_flash
+            and t == 1
+            and decode_attention_int8_supported(hd, cache["k"][li].shape[2])
         )
         if paged:
             # Paged KV pool (serve/paged.py): pages are non-contiguous; the
@@ -431,6 +472,57 @@ def forward(
             )
             new_k_layers.append(kp)
             new_v_layers.append(vp)
+        elif int8_fast:
+            # Single-token decode over the INT8 cache: quantize+append this
+            # token in-kernel, scales streamed beside the payload — the
+            # cache never materializes in bf16.
+            attn, k_c, v_c, ks_c, vs_c = decode_attention_int8(
+                q,
+                cache["k"][li],
+                cache["v"][li],
+                cache["k_scale"][li],
+                cache["v_scale"][li],
+                start,
+                k,
+                v,
+            )
+            new_k_layers.append(k_c)
+            new_v_layers.append(v_c)
+            new_ks_layers.append(ks_c)
+            new_vs_layers.append(vs_c)
+        elif int8_kv:
+            # Eager/prefill INT8 path (reference full-dequant semantics):
+            # quantize per token, splice values + scales, attend over the
+            # dequantized view.
+            from rten_tpu.models.encoder_decoder import dequantize_kv, quantize_kv
+
+            k_q, k_s = quantize_kv(k)
+            v_q, v_s = quantize_kv(v)
+            k_cache = _update_cache(cache["k"][li], k_q, start)
+            v_cache = _update_cache(cache["v"][li], v_q, start)
+            ks_c = pack_kv_scales(
+                _update_cache(
+                    unpack_kv_scales(cache["k_scale"][li], hd), k_s, start
+                ),
+                hd,
+            )
+            vs_c = pack_kv_scales(
+                _update_cache(
+                    unpack_kv_scales(cache["v_scale"][li], hd), v_s, start
+                ),
+                hd,
+            )
+            new_k_layers.append(k_cache)
+            new_v_layers.append(v_cache)
+            new_ks_layers.append(ks_c)
+            new_vs_layers.append(vs_c)
+            kv_len = start + t
+            attn_in = (
+                q,
+                dequantize_kv(k_cache, unpack_kv_scales(ks_c, hd), q.dtype),
+                dequantize_kv(v_cache, unpack_kv_scales(vs_c, hd), q.dtype),
+            )
+            q_offset = start
         elif decode_fast:
             # Single-token decode: the prefix-bounded kernel appends this
             # token's k/v into the cache IN-KERNEL (aliased buffers — no XLA
@@ -456,7 +548,7 @@ def forward(
             attn_in = (q, k, v)
             q_offset = jnp.zeros((b,), jnp.int32)
 
-        if paged or decode_fast:
+        if paged or decode_fast or int8_fast:
             pass  # attn computed above
         elif use_flash:
             attn = flash_attention(
@@ -528,6 +620,9 @@ def forward(
                 "v": new_v_layers,
                 "len": cache["len"] + t,
             }
+            if new_ks_layers:
+                new_cache["k_scale"] = new_ks_layers
+                new_cache["v_scale"] = new_vs_layers
         return logits.astype(jnp.float32), new_cache
     return logits.astype(jnp.float32), None
 

@@ -296,3 +296,40 @@ def test_decoder_matches_huggingface_llama():
         ref = hf(torch.tensor(ids)).logits.numpy()
     got, _ = decoder.forward(params, cfg, jnp.asarray(ids, jnp.int32), None, use_flash=False)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=3e-4)
+
+
+def test_decoder_int8_kv_cache():
+    """INT8 KV cache: prefill+decode chain stays close to the bf16-KV chain
+    and continuation is self-consistent (SURVEY.md §7 INT8 KV path)."""
+    cfg_fp = decoder.DecoderConfig(
+        vocab_size=64, n_layers=2, n_heads=2, d_model=64, d_ff=128, max_seq=256,
+        dtype=jnp.float32,
+    )
+    cfg_q = decoder.DecoderConfig(
+        vocab_size=64, n_layers=2, n_heads=2, d_model=64, d_ff=128, max_seq=256,
+        dtype=jnp.float32, int8_kv=True,
+    )
+    params = decoder.init_params(jax.random.PRNGKey(0), cfg_fp)
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, 64, (1, 6)).astype(np.int32))
+
+    cache_fp = decoder.init_cache(cfg_fp, 1, 256)
+    lg_fp, cache_fp = decoder.prefill(params, cfg_fp, prompt, cache_fp, use_flash=False)
+
+    cache_q = decoder.init_cache(cfg_q, 1, 256)
+    assert cache_q["k"][0].dtype == jnp.int8
+    lg_q, cache_q = decoder.prefill(params, cfg_q, prompt, cache_q, use_flash=False)
+    rel = np.abs(np.asarray(lg_q) - np.asarray(lg_fp)).max() / (
+        np.abs(np.asarray(lg_fp)).max() + 1e-9
+    )
+    assert rel < 0.05, rel
+
+    # decode continuation stays close too
+    nxt = jnp.argmax(lg_fp[:, -1:], -1).astype(jnp.int32)
+    lg_fp2, _ = decoder.decode_step(params, cfg_fp, nxt, cache_fp, use_flash=False)
+    lg_q2, cache_q2 = decoder.decode_step(params, cfg_q, nxt, cache_q, use_flash=False)
+    rel2 = np.abs(np.asarray(lg_q2) - np.asarray(lg_fp2)).max() / (
+        np.abs(np.asarray(lg_fp2)).max() + 1e-9
+    )
+    assert rel2 < 0.05, rel2
+    assert int(np.asarray(cache_q2["len"])[0]) == 7
