@@ -69,3 +69,23 @@ def test_matmul_allreduce_exact(rng):
     )
     got = np.asarray(fn(jnp.asarray(x), jnp.asarray(w)))
     np.testing.assert_allclose(got, x @ w, rtol=1e-5, atol=1e-5)
+
+
+def test_ring_attention_matches_full(rng):
+    from rten_tpu.kernels.attention import attention_reference
+    from rten_tpu.kernels.ring_attention import ring_attention_sharded
+
+    p, b, h, t, d = 4, 2, 2, 32, 16
+    mesh = _mesh(p)
+    q = rng.standard_normal((b, h, t, d)).astype(np.float32) * 0.3
+    k = rng.standard_normal((b, h, t, d)).astype(np.float32) * 0.3
+    v = rng.standard_normal((b, h, t, d)).astype(np.float32)
+
+    for causal in (True, False):
+        got = ring_attention_sharded(
+            mesh, jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=causal
+        )
+        ref = attention_reference(q, k, v, causal=causal)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
