@@ -132,10 +132,16 @@ def main() -> None:
         return jax.lax.scan(body, a0, None, length=steps)[0]
 
     # The chip is time-shared (tunnel): use min-per-length over many trials
-    # (NOT min over slopes — unpaired mins bias the slope toward zero).
-    mm_step = marginal_step_time(lambda s: mm_chain(steps=s), 8, 56, trials=10)
-    tflops = 2 * n**3 / mm_step / 1e12
-    mxu_peak_tflops = 197.0  # v5e bf16
+    # (NOT min over slopes — unpaired mins bias the slope toward zero), and
+    # retry when contention produces a physically impossible slope.
+    mxu_peak_step = 2 * n**3 / (197.0 * 1e12)
+    tflops = float("nan")
+    for _ in range(4):
+        mm_step = marginal_step_time(lambda s: mm_chain(steps=s), 8, 56, trials=10)
+        if mm_step >= 0.9 * mxu_peak_step:
+            tflops = 2 * n**3 / mm_step / 1e12
+            break
+    tflops_ok = tflops == tflops  # not NaN
 
     print(
         json.dumps(
@@ -151,8 +157,8 @@ def main() -> None:
                     "wall_s": round(wall, 2),
                     "roofline_tok_s": round(roofline_tok_s, 1),
                     "weight_mbytes": round(weight_bytes / 1e6, 1),
-                    "prefill_dequant_matmul_tflops": round(tflops, 1),
-                    "prefill_vs_mxu_peak": round(tflops / mxu_peak_tflops, 4),
+                    "prefill_dequant_matmul_tflops": round(tflops, 1) if tflops_ok else None,
+                    "prefill_vs_mxu_peak": round(tflops / 197.0, 4) if tflops_ok else None,
                     "backend": jax.default_backend(),
                 },
             }

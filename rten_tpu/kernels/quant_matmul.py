@@ -240,8 +240,8 @@ def quant_matmul_int8(
     bias=None,
     *,
     activation: str | None = None,
-    block_m: int = 256,
-    block_n: int = 256,
+    block_m: int = 512,
+    block_n: int = 512,
     block_k: int = 512,
     out_dtype=None,
     interpret: bool = False,
