@@ -130,6 +130,57 @@ def init_params(rng: jax.Array, cfg: EncDecConfig = WHISPER_TINY) -> dict:
 # ---------------------------------------------------------------------------
 
 
+
+def _mm(x, w):
+    """Matmul accepting dense [K, N] or INT8-packed {"q","s"} weights (config
+    4: "Whisper ... INT8 weights"); int8 routes through the fused
+    dequant+matmul / GEMV Pallas kernels on TPU."""
+    if isinstance(w, dict):
+        from rten_tpu.kernels.quant_matmul import quant_matmul_int8
+
+        shape = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        pad_k = w["q"].shape[0] - x2.shape[-1]
+        if pad_k:
+            x2 = jnp.pad(x2, ((0, 0), (0, pad_k)))
+        if dispatch.on_tpu():
+            out = quant_matmul_int8(x2, w["q"], w["s"])
+        else:
+            out = x2 @ (w["q"].astype(x.dtype) * w["s"].astype(x.dtype))
+        return out.reshape(*shape, -1).astype(x.dtype)
+    return dispatch.matmul(x, w)
+
+
+def quantize_params_int8(params: dict) -> dict:
+    """Weight-only INT8 over every projection matrix (attention + MLP +
+    logits head); convs and embeddings stay dense. The tied logits
+    projection gets a dedicated padded ``lm_head_q``."""
+    from rten_tpu.kernels.quant_matmul import quantize_weights_int8
+
+    def q(leaf):
+        arr = np.asarray(leaf, np.float32)
+        if arr.ndim == 2 and arr.size >= 1 << 16 and arr.shape[0] % 128 == 0:
+            pad_n = -arr.shape[1] % 128
+            if pad_n:
+                arr = np.pad(arr, ((0, 0), (0, pad_n)))
+            qw, s = quantize_weights_int8(arr, axis=-1)
+            return {"q": jnp.asarray(qw), "s": jnp.asarray(s)}
+        return leaf
+
+    mat_keys = {"wq", "wk", "wv", "wo", "w_up", "w_down"}
+
+    def walk(node, key=""):
+        if isinstance(node, dict):
+            return {k: walk(v, k) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, key) for v in node]
+        return q(node) if key in mat_keys else node
+
+    out = walk(params)
+    out["lm_head_q"] = q(np.asarray(params["tok_emb"], np.float32).T)
+    return out
+
+
 def _layer_norm(x, p, eps):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, -1, keepdims=True)
@@ -211,18 +262,18 @@ def encode(params: dict, cfg: EncDecConfig, mel: jax.Array) -> jax.Array:
     for layer in params["enc_layers"]:
         xn = _layer_norm(x, layer["ln1"], cfg.layer_norm_eps)
         a = layer["attn"]
-        q = _heads(dispatch.matmul(xn, a["wq"]) + a["bq"], cfg.n_heads)
-        k = _heads(dispatch.matmul(xn, a["wk"]), cfg.n_heads)
-        v = _heads(dispatch.matmul(xn, a["wv"]) + a["bv"], cfg.n_heads)
+        q = _heads(_mm(xn, a["wq"]) + a["bq"], cfg.n_heads)
+        k = _heads(_mm(xn, a["wk"]), cfg.n_heads)
+        v = _heads(_mm(xn, a["wv"]) + a["bv"], cfg.n_heads)
         attn = _attend(q, k, v, causal=False)
-        x = x + dispatch.matmul(_unheads(attn), a["wo"]) + a["bo"]
+        x = x + _mm(_unheads(attn), a["wo"]) + a["bo"]
         xn = _layer_norm(x, layer["ln2"], cfg.layer_norm_eps)
         m = layer["mlp"]
         h = jax.nn.gelu(
-            (dispatch.matmul(xn, m["w_up"]) + m["b_up"]).astype(jnp.float32),
+            (_mm(xn, m["w_up"]) + m["b_up"]).astype(jnp.float32),
             approximate=False,
         ).astype(cfg.dtype)
-        x = x + dispatch.matmul(h, m["w_down"]) + m["b_down"]
+        x = x + _mm(h, m["w_down"]) + m["b_down"]
     return _layer_norm(x, params["enc_ln_post"], cfg.layer_norm_eps)
 
 
@@ -243,8 +294,8 @@ def init_decoder_state(
     cross_k, cross_v = [], []
     for layer in params["dec_layers"]:
         a = layer["cross_attn"]
-        xk = _heads(dispatch.matmul(enc_states, a["wk"]), h)
-        xv = _heads(dispatch.matmul(enc_states, a["wv"]) + a["bv"], h)
+        xk = _heads(_mm(enc_states, a["wk"]), h)
+        xv = _heads(_mm(enc_states, a["wv"]) + a["bv"], h)
         cross_k.append(xk)
         cross_v.append(xv)
 
@@ -340,9 +391,9 @@ def decode(
     for li, layer in enumerate(params["dec_layers"]):
         a = layer["self_attn"]
         xn = _layer_norm(x, layer["ln1"], cfg.layer_norm_eps)
-        q = _heads(dispatch.matmul(xn, a["wq"]) + a["bq"], h)
-        k = _heads(dispatch.matmul(xn, a["wk"]), h)
-        v = _heads(dispatch.matmul(xn, a["wv"]) + a["bv"], h)
+        q = _heads(_mm(xn, a["wq"]) + a["bq"], h)
+        k = _heads(_mm(xn, a["wk"]), h)
+        v = _heads(_mm(xn, a["wv"]) + a["bv"], h)
 
         if int8_fast:
             # Single-token decode straight over the INT8 cache: the kernel
@@ -411,28 +462,31 @@ def decode(
                 q, k_cache, v_cache,
                 causal=True, q_offset=start, kv_len=start + t, use_flash=use_flash,
             )
-        x = x + dispatch.matmul(_unheads(attn), a["wo"]) + a["bo"]
+        x = x + _mm(_unheads(attn), a["wo"]) + a["bo"]
 
         # Cross attention over precomputed encoder K/V (full length, no mask).
         c = layer["cross_attn"]
         xn = _layer_norm(x, layer["ln_x"], cfg.layer_norm_eps)
-        qx = _heads(dispatch.matmul(xn, c["wq"]) + c["bq"], h)
+        qx = _heads(_mm(xn, c["wq"]) + c["bq"], h)
         attn_x = _attend(
             qx, state["cross_k"][li], state["cross_v"][li],
             causal=False, use_flash=use_flash,
         )
-        x = x + dispatch.matmul(_unheads(attn_x), c["wo"]) + c["bo"]
+        x = x + _mm(_unheads(attn_x), c["wo"]) + c["bo"]
 
         m = layer["mlp"]
         xn = _layer_norm(x, layer["ln2"], cfg.layer_norm_eps)
         hmid = jax.nn.gelu(
-            (dispatch.matmul(xn, m["w_up"]) + m["b_up"]).astype(jnp.float32),
+            (_mm(xn, m["w_up"]) + m["b_up"]).astype(jnp.float32),
             approximate=False,
         ).astype(cfg.dtype)
-        x = x + dispatch.matmul(hmid, m["w_down"]) + m["b_down"]
+        x = x + _mm(hmid, m["w_down"]) + m["b_down"]
 
     x = _layer_norm(x, params["dec_ln"], cfg.layer_norm_eps)
-    logits = dispatch.matmul(x, params["tok_emb"].T)
+    if "lm_head_q" in params:
+        logits = _mm(x, params["lm_head_q"])[..., : cfg.vocab_size]
+    else:
+        logits = dispatch.matmul(x, params["tok_emb"].T)
     new_state["len"] = start + t
     return logits.astype(jnp.float32), new_state
 

@@ -180,3 +180,35 @@ def test_matches_huggingface_whisper():
     # last_hidden_state @ tok_emb.T for a like-for-like check
     ref_logits = dec_ref @ np.asarray(params["tok_emb"], np.float32).T
     np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=2e-3, atol=3e-4)
+
+
+def test_int8_weights_close_to_fp():
+    """Config 4's INT8-weight path: quantized encoder-decoder stays close to
+    the fp forward on CPU (fused kernel path exercised on TPU)."""
+    cfg = ed.EncDecConfig(
+        n_mels=16, n_audio_ctx=32, vocab_size=64, d_model=256, n_heads=2,
+        n_audio_layers=1, n_text_layers=1, d_ff=512, max_text_ctx=32,
+        dtype=jnp.float32,
+    )
+    params = ed.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = ed.quantize_params_int8(params)
+    assert isinstance(qparams["dec_layers"][0]["self_attn"]["wq"], dict)
+
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, 16, 64)).astype(np.float32))
+    enc_fp = ed.encode(params, cfg, mel)
+    enc_q = ed.encode(qparams, cfg, mel)
+    rel = np.abs(np.asarray(enc_q) - np.asarray(enc_fp)).max() / (
+        np.abs(np.asarray(enc_fp)).max() + 1e-9
+    )
+    assert rel < 0.05, rel
+
+    ids = jnp.asarray(rng.integers(0, 64, (1, 4)).astype(np.int32))
+    st_fp = ed.init_decoder_state(params, cfg, enc_fp)
+    lg_fp, _ = ed.decode(params, cfg, ids, st_fp, use_flash=False)
+    st_q = ed.init_decoder_state(qparams, cfg, enc_q)
+    lg_q, _ = ed.decode(qparams, cfg, ids, st_q, use_flash=False)
+    rel2 = np.abs(np.asarray(lg_q) - np.asarray(lg_fp)).max() / (
+        np.abs(np.asarray(lg_fp)).max() + 1e-9
+    )
+    assert rel2 < 0.08, rel2
