@@ -248,3 +248,18 @@ class Generator:
         if self._on_token:
             self._on_token(next_tokens)
         return next_tokens
+
+
+def backend_for_model(model, n_heads: int | None = None, batch: int = 1):
+    """Pick the fastest backend for a loaded graph model: try lifting it onto
+    the native decoder (models/lift.py — HF-named initializers → native
+    params, Pallas decode kernels, one XLA program per step); fall back to
+    the generic GraphBackend (interpret-mode graph execution) when the graph
+    isn't a recognized decoder."""
+    from rten_tpu.models.lift import LiftError, lift_decoder
+
+    try:
+        cfg, params = lift_decoder(model, n_heads=n_heads)
+    except LiftError:
+        return GraphBackend(model)
+    return NativeBackend(params, cfg, batch=batch)

@@ -1,0 +1,132 @@
+"""Lifting loaded decoder graphs onto the native fast path.
+
+Chain of evidence: from_hf_gpt2/from_hf_llama match torch exactly
+(test_decoder_generate.py); lift_decoder reproduces those params from a
+GRAPH whose constants carry HF initializer names — so lifted graphs match
+torch transitively."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rten_tpu.graph import Graph
+from rten_tpu.models import decoder
+from rten_tpu.models.lift import LiftError, graph_weights, infer_n_heads, lift_decoder
+
+
+def _gpt2_state(rng, n_layers=2, d=64, ff=256, vocab=96, pos=32):
+    st = {
+        "transformer.wte.weight": rng.standard_normal((vocab, d)).astype(np.float32),
+        "transformer.wpe.weight": rng.standard_normal((pos, d)).astype(np.float32),
+        "transformer.ln_f.weight": np.ones(d, np.float32),
+        "transformer.ln_f.bias": np.zeros(d, np.float32),
+    }
+    for i in range(n_layers):
+        p = f"transformer.h.{i}."
+        st[p + "ln_1.weight"] = np.ones(d, np.float32)
+        st[p + "ln_1.bias"] = np.zeros(d, np.float32)
+        st[p + "ln_2.weight"] = np.ones(d, np.float32)
+        st[p + "ln_2.bias"] = np.zeros(d, np.float32)
+        st[p + "attn.c_attn.weight"] = rng.standard_normal((d, 3 * d)).astype(np.float32) * 0.1
+        st[p + "attn.c_attn.bias"] = np.zeros(3 * d, np.float32)
+        st[p + "attn.c_proj.weight"] = rng.standard_normal((d, d)).astype(np.float32) * 0.1
+        st[p + "attn.c_proj.bias"] = np.zeros(d, np.float32)
+        st[p + "mlp.c_fc.weight"] = rng.standard_normal((d, ff)).astype(np.float32) * 0.1
+        st[p + "mlp.c_fc.bias"] = np.zeros(ff, np.float32)
+        st[p + "mlp.c_proj.weight"] = rng.standard_normal((ff, d)).astype(np.float32) * 0.1
+        st[p + "mlp.c_proj.bias"] = np.zeros(d, np.float32)
+    return st
+
+
+def _graph_from_state(st, n_heads, d):
+    g = Graph()
+    for name, arr in st.items():
+        g.add_constant(name, arr)
+    # an HF-export-style Reshape shape constant carrying the head split
+    g.add_constant("reshape_shape", np.asarray([0, -1, n_heads, d // n_heads], np.int64))
+    return g
+
+
+def test_lift_gpt2_graph_matches_direct_import(rng):
+    st = _gpt2_state(rng)
+    graph = _graph_from_state(st, n_heads=4, d=64)
+
+    cfg, params = lift_decoder(graph)
+    assert cfg.n_layers == 2 and cfg.n_heads == 4 and cfg.d_model == 64
+    assert cfg.vocab_size == 96 and cfg.max_seq == 32
+
+    ids = jnp.asarray(rng.integers(0, 96, (1, 7)).astype(np.int32))
+    logits, _ = decoder.forward(params, cfg, ids, None, use_flash=False)
+
+    # direct import path (torch-parity-tested) must agree exactly
+    class T:
+        def __init__(self, a):
+            self.a = a
+
+        def detach(self):
+            return self
+
+        def cpu(self):
+            return self
+
+        def __array__(self, *a, **k):
+            return np.asarray(self.a)
+
+    params2 = decoder.from_hf_gpt2({k: T(v) for k, v in st.items()}, cfg, jnp.float32)
+    logits2, _ = decoder.forward(params2, cfg, ids, None, use_flash=False)
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(logits2))
+
+
+def test_lift_infers_heads_and_errors(rng):
+    st = _gpt2_state(rng)
+    graph = _graph_from_state(st, n_heads=8, d=64)
+    assert infer_n_heads(graph, 64) == 8
+
+    # without the reshape constant and without a hint → explicit error
+    g2 = Graph()
+    for name, arr in st.items():
+        g2.add_constant(name, arr)
+    with pytest.raises(LiftError):
+        lift_decoder(g2)
+    cfg, _ = lift_decoder(g2, n_heads=4)
+    assert cfg.n_heads == 4
+
+
+def test_lift_rejects_unknown_graphs():
+    g = Graph()
+    g.add_constant("something.weight", np.zeros((4, 4), np.float32))
+    with pytest.raises(LiftError):
+        lift_decoder(g)
+
+
+def test_graph_weights_roundtrip(rng):
+    st = _gpt2_state(rng, n_layers=1)
+    g = _graph_from_state(st, 4, 64)
+    w = graph_weights(g)
+    assert set(st).issubset(set(w))
+
+
+def test_backend_for_model_lifts_and_falls_back(rng):
+    from rten_tpu.generate.generator import backend_for_model, GraphBackend, NativeBackend
+
+    st = _gpt2_state(rng)
+    graph = _graph_from_state(st, n_heads=4, d=64)
+
+    class FakeModel:
+        def __init__(self, g):
+            self.graph = g
+
+        def input_names(self):
+            return ["input_ids"]
+
+        def output_names(self):
+            return ["logits"]
+
+    be = backend_for_model(FakeModel(graph))
+    assert isinstance(be, NativeBackend)
+
+    g2 = Graph()
+    g2.add_constant("mystery.weight", np.zeros((4, 4), np.float32))
+    be2 = backend_for_model(FakeModel(g2))
+    assert isinstance(be2, GraphBackend)
