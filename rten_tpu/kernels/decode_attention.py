@@ -276,13 +276,30 @@ def decode_attention(
     position.
     """
     b, h, sq, d = q.shape
-    _, hk, s_max, _ = k_cache.shape
     assert sq == 1, "decode_attention handles exactly one query position"
+    hk = k_cache.shape[1]
     assert h % hk == 0
     group = h // hk
     if sm_scale is None:
         sm_scale = 1.0 / (d**0.5)
     kv_len = jnp.asarray(kv_len, jnp.int32).reshape(b)
+
+    # Caches may arrive UNFOLDED [B, Hk, S, D] or pre-FOLDED
+    # [B, Hk, S·D/128, 128]. Folded storage is strongly preferred: with a
+    # 64-lane minor dim XLA assigns a transposed layout to the unfolded
+    # array and inserts a full-cache conversion copy around every aliased
+    # custom call (~3 µs per leaf per step); the folded form's 128-lane
+    # minor dim keeps the row-major layout end to end. (For d == 128 the
+    # two forms coincide.)
+    if k_cache.shape[-1] == _LANES:
+        prefolded = True
+        s_max = k_cache.shape[2] * _LANES // d
+        kf, vf = k_cache, v_cache
+    else:
+        prefolded = False
+        s_max = k_cache.shape[2]
+        kf = k_cache.reshape(b, hk, s_max * d // _LANES, _LANES)
+        vf = v_cache.reshape(b, hk, s_max * d // _LANES, _LANES)
 
     block_s = min(block_s, s_max)
     if not decode_attention_supported(d, s_max, block_s):
@@ -292,11 +309,6 @@ def decode_attention(
         )
     rows_per_block = block_s * d // _LANES
     fused_write = k_new is not None
-
-    # Free views: [B, Hk, S, D] is contiguous, so folding (S, D) into
-    # (S*D/128, 128) is pure reindexing — no copy.
-    kf = k_cache.reshape(b, hk, s_max * d // _LANES, _LANES)
-    vf = v_cache.reshape(b, hk, s_max * d // _LANES, _LANES)
 
     # [B, H, 1, D] -> [B, Hk, group, D], pad group rows to the f32 sublane
     # minimum so the q tile is a legal VMEM shape.
@@ -401,11 +413,10 @@ def decode_attention(
     if fused_write:
         out, k_out, v_out = res
         out = out[:, :, :group, :].reshape(b, h, 1, d)
-        return (
-            out,
-            k_out.reshape(b, hk, s_max, d),
-            v_out.reshape(b, hk, s_max, d),
-        )
+        if not prefolded:
+            k_out = k_out.reshape(b, hk, s_max, d)
+            v_out = v_out.reshape(b, hk, s_max, d)
+        return (out, k_out, v_out)
     return res[:, :, :group, :].reshape(b, h, 1, d)
 
 
@@ -651,12 +662,20 @@ def decode_attention_int8(
     (out, k_cache_q, v_cache_q, k_scales, v_scales) — or just ``out``
     without k_new."""
     b, h, sq, d = q.shape
-    _, hk, s_max, _ = k_cache_q.shape
+    hk = k_cache_q.shape[1]
     assert sq == 1 and h % hk == 0
     group = h // hk
     if sm_scale is None:
         sm_scale = 1.0 / (d**0.5)
     kv_len = jnp.asarray(kv_len, jnp.int32).reshape(b)
+    # Accept folded [B, Hk, S·D/128, 128] storage (see decode_attention —
+    # avoids XLA layout-conversion copies around every aliased call).
+    if k_cache_q.shape[-1] == _LANES:
+        prefolded = True
+        s_max = k_cache_q.shape[2] * _LANES // d
+    else:
+        prefolded = False
+        s_max = k_cache_q.shape[2]
     block_s = min(block_s, s_max)
     if not decode_attention_int8_supported(d, s_max, block_s):
         raise ValueError(
@@ -667,8 +686,11 @@ def decode_attention_int8(
     f = _LANES // d
     fused_write = k_new is not None
 
-    kf = k_cache_q.reshape(b, hk, s_max * d // _LANES, _LANES)
-    vf = v_cache_q.reshape(b, hk, s_max * d // _LANES, _LANES)
+    if prefolded:
+        kf, vf = k_cache_q, v_cache_q
+    else:
+        kf = k_cache_q.reshape(b, hk, s_max * d // _LANES, _LANES)
+        vf = v_cache_q.reshape(b, hk, s_max * d // _LANES, _LANES)
 
     gp = max(8, -(-group // 8) * 8)
     qg = q.reshape(b, hk, group, d)
@@ -783,8 +805,9 @@ def decode_attention_int8(
         return res[:, :, :group, :].reshape(b, h, 1, d)
     out, k_out, v_out = res
     out = out[:, :, :group, :].reshape(b, h, 1, d)
-    k_out = k_out.reshape(b, hk, s_max, d)
-    v_out = v_out.reshape(b, hk, s_max, d)
+    if not prefolded:
+        k_out = k_out.reshape(b, hk, s_max, d)
+        v_out = v_out.reshape(b, hk, s_max, d)
 
     # Splice the new token's scales into the (small) scale arrays.
     def splice(scales, new):  # scales [B,Hk,8,S_f], new [B,Hk]

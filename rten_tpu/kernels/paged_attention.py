@@ -222,7 +222,15 @@ def paged_decode_attention(
     score seeds the softmax; returns (out, k_pages, v_pages), else just out.
     """
     b, h, sq, d = q.shape
-    hk, n_pages, psz, _ = k_pages.shape
+    hk, n_pages = k_pages.shape[:2]
+    # Pages may arrive pre-FOLDED [Hk, P, page·D/128, 128] (preferred — see
+    # decode_attention layout note) or unfolded [Hk, P, page, D].
+    if k_pages.shape[-1] == _LANES:
+        prefolded = True
+        psz = k_pages.shape[2] * _LANES // d
+    else:
+        prefolded = False
+        psz = k_pages.shape[2]
     if page_size is None:
         page_size = psz
     assert sq == 1 and h % hk == 0 and psz == page_size
@@ -237,8 +245,11 @@ def paged_decode_attention(
     rows_per_page = page_size * d // _LANES
     fused_write = k_new is not None
 
-    kf = k_pages.reshape(hk, n_pages, rows_per_page, _LANES)
-    vf = v_pages.reshape(hk, n_pages, rows_per_page, _LANES)
+    if prefolded:
+        kf, vf = k_pages, v_pages
+    else:
+        kf = k_pages.reshape(hk, n_pages, rows_per_page, _LANES)
+        vf = v_pages.reshape(hk, n_pages, rows_per_page, _LANES)
 
     gp = max(8, -(-group // 8) * 8)
     qg = q.reshape(b, hk, group, d)
@@ -328,8 +339,7 @@ def paged_decode_attention(
     if not fused_write:
         return res[:, :, :group, :].reshape(b, h, 1, d)
     out, k_out, v_out = res
-    return (
-        out[:, :, :group, :].reshape(b, h, 1, d),
-        k_out.reshape(hk, n_pages, page_size, d),
-        v_out.reshape(hk, n_pages, page_size, d),
-    )
+    if not prefolded:
+        k_out = k_out.reshape(hk, n_pages, page_size, d)
+        v_out = v_out.reshape(hk, n_pages, page_size, d)
+    return (out[:, :, :group, :].reshape(b, h, 1, d), k_out, v_out)

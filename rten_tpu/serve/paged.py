@@ -51,7 +51,10 @@ class PagePool:
         self.n_pages = n_pages
         self.page_size = page_size
         dtype = dtype or cfg.dtype
-        shape = (cfg.kv_heads, n_pages, page_size, cfg.head_dim)
+        # FOLDED page storage [Hk, P, page·D/128, 128] — 128-lane minor dim
+        # keeps XLA on the row-major layout (see models/decoder.init_cache).
+        rows = page_size * cfg.head_dim // 128
+        shape = (cfg.kv_heads, n_pages, rows, 128)
         self.k_pages = [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)]
         self.v_pages = [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)]
         self.free: deque[int] = deque(range(n_pages))
@@ -69,10 +72,12 @@ class PagePool:
         self.free.extend(int(p) for p in pages)
 
     def write_prefix(self, li: int, page: int, k: jax.Array, v: jax.Array) -> None:
-        """Write a [Hk, n, D] prefix chunk (n ≤ page_size) into a page."""
-        n = k.shape[1]
-        self.k_pages[li] = _write_page(self.k_pages[li], jnp.int32(page), k, n)
-        self.v_pages[li] = _write_page(self.v_pages[li], jnp.int32(page), v, n)
+        """Write a full-page [Hk, page_size, D] chunk into a page."""
+        hk = k.shape[0]
+        kf = k.reshape(hk, -1, 128)
+        vf = v.reshape(hk, -1, 128)
+        self.k_pages[li] = _write_page(self.k_pages[li], jnp.int32(page), kf, 0)
+        self.v_pages[li] = _write_page(self.v_pages[li], jnp.int32(page), vf, 0)
 
 
 import functools  # noqa: E402

@@ -284,3 +284,23 @@ def test_profiler_trace_and_step_timer(tmp_path):
             pass
     assert len(t.times_s) == 3
     assert "steps" in t.summary()
+
+
+def test_donated_buffer_reuse_raises():
+    """The TPU-build analog of the reference's aliasing sanitizers
+    (SURVEY.md §5): a donated cache buffer must not be silently readable
+    after the jitted call — JAX deletes it and raises on reuse."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    @jax.jit
+    def bump(c):
+        return c + 1
+
+    donated = jax.jit(lambda c: c.at[0].set(1.0), donate_argnums=(0,))
+    buf = jnp.zeros(128)
+    out = donated(buf)
+    assert float(out[0]) == 1.0
+    with _pytest.raises(Exception):
+        _ = np.asarray(buf)  # deleted by donation
