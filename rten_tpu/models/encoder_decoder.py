@@ -305,7 +305,14 @@ def init_decoder_state(
         # slots are int8, so the cost is small.
         max_len = -(-max_len // 256) * 256
 
-    kv_shape = (b, h, max_len, hd)
+    # FOLDED self-cache storage [B, H, S·D/128, 128] where possible (see
+    # models/decoder.init_cache: avoids XLA layout-conversion copies around
+    # every aliased decode-kernel call).
+    foldable = hd <= 128 and 128 % hd == 0 and (max_len * hd) % 128 == 0
+    if foldable:
+        kv_shape = (b, h, max_len * hd // 128, 128)
+    else:
+        kv_shape = (b, h, max_len, hd)
     state: dict[str, Any] = {
         "cross_k": cross_k,
         "cross_v": cross_v,
@@ -373,8 +380,10 @@ def decode(
         unpack_kv_scales,
     )
 
+    from rten_tpu.models.decoder import _fold_like, _unfold, cache_seq_len
+
     flash = use_flash if use_flash is not None else dispatch.on_tpu()
-    s_max = state["self_k"][0].shape[2]
+    s_max = cache_seq_len(state["self_k"][0], cfg.head_dim)
     int8_fast = (
         cfg.int8_kv
         and flash
@@ -415,10 +424,13 @@ def decode(
             new_state["self_k_scale"][li] = ks_c
             new_state["self_v_scale"][li] = vs_c
         elif cfg.int8_kv:
+            hd_ = cfg.head_dim
             k_q, k_s = quantize_kv(k)
             v_q, v_s = quantize_kv(v)
-            new_state["self_k"][li] = _update_kv(state["self_k"][li], k_q, start)
-            new_state["self_v"][li] = _update_kv(state["self_v"][li], v_q, start)
+            k_q_full = _update_kv(_unfold(state["self_k"][li], hd_), k_q, start)
+            v_q_full = _update_kv(_unfold(state["self_v"][li], hd_), v_q, start)
+            new_state["self_k"][li] = _fold_like(k_q_full, state["self_k"][li])
+            new_state["self_v"][li] = _fold_like(v_q_full, state["self_v"][li])
             new_state["self_k_scale"][li] = pack_kv_scales(
                 _update_kv(
                     unpack_kv_scales(state["self_k_scale"][li], cfg.head_dim),
@@ -436,12 +448,12 @@ def decode(
                 cfg.head_dim,
             )
             k_cache = dequantize_kv(
-                new_state["self_k"][li],
+                k_q_full,
                 unpack_kv_scales(new_state["self_k_scale"][li], cfg.head_dim),
                 cfg.dtype,
             )
             v_cache = dequantize_kv(
-                new_state["self_v"][li],
+                v_q_full,
                 unpack_kv_scales(new_state["self_v_scale"][li], cfg.head_dim),
                 cfg.dtype,
             )
@@ -452,10 +464,10 @@ def decode(
             new_state["self_k"][li] = k_c
             new_state["self_v"][li] = v_c
         else:
-            k_cache = _update_kv(state["self_k"][li], k, start)
-            v_cache = _update_kv(state["self_v"][li], v, start)
-            new_state["self_k"][li] = k_cache
-            new_state["self_v"][li] = v_cache
+            k_cache = _update_kv(_unfold(state["self_k"][li], cfg.head_dim), k, start)
+            v_cache = _update_kv(_unfold(state["self_v"][li], cfg.head_dim), v, start)
+            new_state["self_k"][li] = _fold_like(k_cache, state["self_k"][li])
+            new_state["self_v"][li] = _fold_like(v_cache, state["self_v"][li])
 
         if not (int8_fast or bf16_fast):
             attn = _attend(
