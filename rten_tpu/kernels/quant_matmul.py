@@ -65,7 +65,7 @@ def _gemv_kernel(
         # normalized activations. Requires sequential grid ("arbitrary").
         @pl.when(pl.program_id(0) == 0)
         def _compute_norm():
-            x = x_ref[...]
+            x = x_ref[...].astype(jnp.float32)
             if norm == "rmsnorm":
                 inv = jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + norm_eps)
                 x = x * inv
@@ -81,7 +81,7 @@ def _gemv_kernel(
 
         x = xn_scr[...]
     else:
-        x = x_ref[...]
+        x = x_ref[...].astype(jnp.float32)
     w = w_ref[...].astype(jnp.float32)
     acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
     out = acc * s_ref[...]
@@ -131,8 +131,11 @@ def quant_gemv_int8(
     assert k == k2 and m <= 8, (x.shape, w_q.shape)
     out_dtype = out_dtype or x.dtype
 
-    mp = 8
-    xp = jnp.pad(x.astype(jnp.float32), ((0, mp - m), (0, 0)))
+    # No M padding: Mosaic handles sub-tile row blocks, and the explicit
+    # pad+f32-convert used to cost one XLA fusion launch per call (the
+    # conversion now happens in VMEM inside the kernel).
+    mp = m
+    xp = x
     bn = pick_block(n, block_n)
     wp = _pad_to(w_q, bn, 1)
     sp = _pad_to(scales.reshape(1, -1), bn, 1)
