@@ -58,8 +58,12 @@ def _decode_attn_kernel(
     v_hbm,
     kn_ref,  # [1, Hk, 8, D] VMEM — new token's k (row 0) or None
     vn_ref,
+    wo_ref,  # [Hk, G·D, Dm] int8 — fused output projection, or None
+    wos_ref,  # [1, Dm]
+    wob_ref,  # [1, Dm] or None
+    res_ref,  # [1, Dm] residual or None
     # outputs
-    o_ref,  # [1, Hk, Gp, D] VMEM
+    o_ref,  # [1, Hk, Gp, D] VMEM (or [1, Dm] with fused wo)
     # scratch
     k_buf,  # [2, Hk, rows_per_block, 128] VMEM double buffer
     v_buf,
@@ -70,6 +74,7 @@ def _decode_attn_kernel(
     block_s: int,
     rows_per_block: int,
     d: int,
+    group: int,
     sm_scale: float,
 ):
     b = pl.program_id(0)
@@ -225,7 +230,26 @@ def _decode_attn_kernel(
         )
     m_fin, l_fin, acc = jax.lax.fori_loop(0, n_blocks, body, init)
     l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
-    o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+    final = acc * l_inv  # [Hk, Gp, D] f32
+    if wo_ref is None:
+        o_ref[0] = final.astype(o_ref.dtype)
+    else:
+        # Fused output projection: per-head partial matmuls against the
+        # head's rows of W_o summed across heads — no lane-crossing reshape
+        # of the attention vector, and it never round-trips through HBM.
+        attn = final[:, :group, :].reshape(hk, 1, group * d)  # [Hk, 1, G·D]
+        part = jax.lax.dot_general(
+            attn,
+            wo_ref[...].astype(jnp.float32),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [Hk, 1, Dm]
+        out = jnp.sum(part, axis=0) * wos_ref[...].astype(jnp.float32)
+        if wob_ref is not None:
+            out = out + wob_ref[...].astype(jnp.float32)
+        if res_ref is not None:
+            out = out + res_ref[...].astype(jnp.float32)
+        o_ref[...] = out.astype(o_ref.dtype)
 
 
 def decode_attention_supported(head_dim: int, s_max: int, block_s: int = 256) -> bool:
@@ -252,6 +276,10 @@ def decode_attention(
     kv_len,
     k_new=None,
     v_new=None,
+    wo_q=None,  # [H·D, Dm] int8 — fuse the output projection into the kernel
+    wo_scales=None,
+    wo_bias=None,
+    residual=None,  # [B, Dm] added after the projection
     *,
     sm_scale: float | None = None,
     block_s: int = 256,
@@ -328,6 +356,16 @@ def decode_attention(
         pltpu.VMEM((2, hk, rows_per_block, _LANES), v_cache.dtype),
         pltpu.SemaphoreType.DMA((2, 2)),
     ]
+    fused_wo = wo_q is not None
+    if fused_wo:
+        dm = wo_q.shape[1]
+        assert wo_q.shape[0] == h * d, (wo_q.shape, h, d)
+        attn_out_shape = jax.ShapeDtypeStruct((b, dm), q.dtype)
+        attn_out_spec = pl.BlockSpec((1, dm), lambda bi, *_: (bi, 0))
+    else:
+        attn_out_shape = jax.ShapeDtypeStruct((b, hk, gp, d), q.dtype)
+        attn_out_spec = pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0))
+
     if fused_write:
         knp = jnp.pad(k_new, ((0, 0), (0, 0), (0, 7), (0, 0)))
         vnp = jnp.pad(v_new, ((0, 0), (0, 0), (0, 7), (0, 0)))
@@ -340,13 +378,30 @@ def decode_attention(
             pltpu.VMEM((2, hk, 8, _LANES), k_cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
+
+    wo_have = []
+    if fused_wo:
+        args.append(wo_q.reshape(hk, group * d, dm))
+        in_specs.append(pl.BlockSpec((hk, group * d, dm), lambda bi, *_: (0, 0, 0)))
+        args.append(wo_scales.reshape(1, -1))
+        in_specs.append(pl.BlockSpec((1, dm), lambda bi, *_: (0, 0)))
+        if wo_bias is not None:
+            args.append(wo_bias.reshape(1, -1))
+            in_specs.append(pl.BlockSpec((1, dm), lambda bi, *_: (0, 0)))
+            wo_have.append("wob")
+        if residual is not None:
+            args.append(residual.reshape(b, dm))
+            in_specs.append(pl.BlockSpec((1, dm), lambda bi, *_: (bi, 0)))
+            wo_have.append("res")
+
+    if fused_write:
         out_shape = (
-            jax.ShapeDtypeStruct((b, hk, gp, d), q.dtype),
+            attn_out_shape,
             jax.ShapeDtypeStruct(kf.shape, kf.dtype),
             jax.ShapeDtypeStruct(vf.shape, vf.dtype),
         )
         out_specs = (
-            pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
+            attn_out_spec,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         )
@@ -354,21 +409,31 @@ def decode_attention(
         # 0=kv_len, 1=q, 2=k cache, 3=v cache → outputs 1, 2.
         aliases = {2: 1, 3: 2}
     else:
-        out_shape = jax.ShapeDtypeStruct((b, hk, gp, d), q.dtype)
-        out_specs = pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0))
+        out_shape = attn_out_shape
+        out_specs = attn_out_spec
         aliases = {}
 
     def kernel(kv_len_ref, q_ref, k_hbm, v_hbm, *rest):
+        rest = list(rest)
         if fused_write:
-            kn_ref, vn_ref, o_ref = rest[0], rest[1], rest[2]
-            ko_ref, vo_ref = rest[3], rest[4]
-            k_buf, v_buf, sem_, row_buf, row_sem = rest[5:]
+            kn_ref, vn_ref = rest.pop(0), rest.pop(0)
+        else:
+            kn_ref = vn_ref = None
+        if fused_wo:
+            wo_ref, wos_ref = rest.pop(0), rest.pop(0)
+            wob_ref = rest.pop(0) if "wob" in wo_have else None
+            res_ref = rest.pop(0) if "res" in wo_have else None
+        else:
+            wo_ref = wos_ref = wob_ref = res_ref = None
+        if fused_write:
+            o_ref, ko_ref, vo_ref = rest.pop(0), rest.pop(0), rest.pop(0)
+            k_buf, v_buf, sem_, row_buf, row_sem = rest
             # Aliased outputs ARE the input buffers; write through them.
             k_tgt, v_tgt = ko_ref, vo_ref
         else:
-            kn_ref = vn_ref = row_buf = row_sem = None
-            o_ref = rest[0]
-            k_buf, v_buf, sem_ = rest[1:]
+            row_buf = row_sem = None
+            o_ref = rest.pop(0)
+            k_buf, v_buf, sem_ = rest
             k_tgt, v_tgt = k_hbm, v_hbm
         _decode_attn_kernel(
             kv_len_ref,
@@ -377,6 +442,10 @@ def decode_attention(
             v_tgt,
             kn_ref,
             vn_ref,
+            wo_ref,
+            wos_ref,
+            wob_ref,
+            res_ref,
             o_ref,
             k_buf,
             v_buf,
@@ -386,6 +455,7 @@ def decode_attention(
             block_s=block_s,
             rows_per_block=rows_per_block,
             d=d,
+            group=group,
             sm_scale=sm_scale,
         )
 
@@ -410,14 +480,18 @@ def decode_attention(
         ),
         interpret=interpret,
     )(*args)
+    def finish_attn(out):
+        if fused_wo:
+            return out  # [B, Dm] projected hidden
+        return out[:, :, :group, :].reshape(b, h, 1, d)
+
     if fused_write:
         out, k_out, v_out = res
-        out = out[:, :, :group, :].reshape(b, h, 1, d)
         if not prefolded:
             k_out = k_out.reshape(b, hk, s_max, d)
             v_out = v_out.reshape(b, hk, s_max, d)
-        return (out, k_out, v_out)
-    return res[:, :, :group, :].reshape(b, h, 1, d)
+        return (finish_attn(out), k_out, v_out)
+    return finish_attn(res)
 
 
 # ---------------------------------------------------------------------------

@@ -326,3 +326,137 @@ def quant_matmul_int8(
         interpret=interpret,
     )(*args)
     return out[:m, :n]
+
+
+def _mlp_kernel(
+    x_ref,  # [M, D]
+    wu_ref,  # [D, FF] int8 (whole matrix in VMEM)
+    su_ref,  # [1, FF]
+    wd_ref,  # [FF, D] int8
+    sd_ref,  # [1, D]
+    bu_ref,  # [1, FF] or None
+    bd_ref,  # [1, D] or None
+    ns_ref,  # [1, D] norm scale or None
+    nb_ref,  # [1, D] norm bias or None
+    r_ref,  # [M, D] residual or None
+    o_ref,  # [M, D]
+    *,
+    activation,
+    norm,
+    norm_eps,
+):
+    x = x_ref[...].astype(jnp.float32)
+    if norm is not None:
+        if norm == "rmsnorm":
+            x = x * jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + norm_eps)
+        else:
+            mean = jnp.mean(x, -1, keepdims=True)
+            xc = x - mean
+            x = xc * jax.lax.rsqrt(jnp.mean(xc * xc, -1, keepdims=True) + norm_eps)
+        x = x * ns_ref[...].astype(jnp.float32)
+        if nb_ref is not None:
+            x = x + nb_ref[...].astype(jnp.float32)
+    up = jnp.dot(
+        x, wu_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32
+    ) * su_ref[...]
+    if bu_ref is not None:
+        up = up + bu_ref[...].astype(jnp.float32)
+    up = _ACTIVATIONS[activation](up)
+    down = jnp.dot(
+        up, wd_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32
+    ) * sd_ref[...]
+    if bd_ref is not None:
+        down = down + bd_ref[...].astype(jnp.float32)
+    if r_ref is not None:
+        down = down + r_ref[...].astype(jnp.float32)
+    o_ref[...] = down.astype(o_ref.dtype)
+
+
+# Whole-matrix VMEM budget for the fused MLP (both weight matrices resident).
+MLP_FUSED_VMEM_LIMIT = 8 << 20
+
+
+def mlp_fused_supported(d: int, ff: int) -> bool:
+    return d * ff * 2 <= MLP_FUSED_VMEM_LIMIT
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("activation", "norm", "norm_eps", "out_dtype", "interpret"),
+)
+def quant_mlp_int8(
+    x,  # [M, D], M ≤ 8
+    w_up_q,
+    up_scales,
+    w_down_q,
+    down_scales,
+    b_up=None,
+    b_down=None,
+    *,
+    activation: str | None = "gelu",
+    norm: str | None = None,
+    norm_scale=None,
+    norm_bias=None,
+    norm_eps: float = 1e-5,
+    residual=None,
+    out_dtype=None,
+    interpret: bool = False,
+):
+    """Whole transformer-MLP decode step in ONE kernel:
+
+        out = norm(x) @ W_up (+b) → activation → @ W_down (+b) + residual
+
+    Both int8 weight matrices live in VMEM for the kernel's duration (gate
+    with mlp_fused_supported); the FF-wide intermediate never touches HBM
+    and two kernel launches + their staging fusions collapse into one."""
+    m, d = x.shape
+    ff = w_up_q.shape[1]
+    assert m <= 8 and w_up_q.shape == (d, ff) and w_down_q.shape == (ff, d)
+    out_dtype = out_dtype or x.dtype
+
+    in_specs = [
+        pl.BlockSpec((m, d), lambda: (0, 0)),
+        pl.BlockSpec((d, ff), lambda: (0, 0)),
+        pl.BlockSpec((1, ff), lambda: (0, 0)),
+        pl.BlockSpec((ff, d), lambda: (0, 0)),
+        pl.BlockSpec((1, d), lambda: (0, 0)),
+    ]
+    args = [x, w_up_q, up_scales.reshape(1, -1), w_down_q, down_scales.reshape(1, -1)]
+    have = []
+    for name, val, width in (
+        ("bu_ref", b_up, ff),
+        ("bd_ref", b_down, d),
+        ("ns_ref", norm_scale if norm is not None else None, d),
+        ("nb_ref", norm_bias if norm is not None else None, d),
+    ):
+        if val is not None:
+            args.append(val.reshape(1, -1))
+            in_specs.append(pl.BlockSpec((1, width), lambda: (0, 0)))
+            have.append(name)
+    if residual is not None:
+        args.append(residual)
+        in_specs.append(pl.BlockSpec((m, d), lambda: (0, 0)))
+        have.append("r_ref")
+
+    def kernel(x_ref, wu_ref, su_ref, wd_ref, sd_ref, *rest):
+        opt = dict(zip(have, rest[:-1]))
+        _mlp_kernel(
+            x_ref, wu_ref, su_ref, wd_ref, sd_ref,
+            opt.get("bu_ref"), opt.get("bd_ref"),
+            opt.get("ns_ref"), opt.get("nb_ref"), opt.get("r_ref"),
+            rest[-1],
+            activation=activation, norm=norm, norm_eps=norm_eps,
+        )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, d), out_dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m, d), lambda: (0, 0)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * d * ff,
+            bytes_accessed=2 * d * ff,
+            transcendentals=m * ff,
+        ),
+        interpret=interpret,
+    )(*args)

@@ -560,9 +560,30 @@ def forward(
             # token's k/v into the cache IN-KERNEL (aliased buffers — no XLA
             # dynamic_update_slice, which costs ~70 µs/step in carry copies)
             # and reads only the valid ceil(kv_len/block) cache blocks.
-            attn, k_cache, v_cache = decode_attention(
-                q, cache["k"][li], cache["v"][li], start, k, v
-            )
+            wo_fused = fuse and isinstance(layer.get("wo"), dict) and layer[
+                "wo"
+            ]["q"].shape == (h * hd, cfg.d_model)
+            if wo_fused:
+                # ... plus the output projection + residual in the SAME
+                # kernel: the attention vector never leaves VMEM.
+                hidden, k_cache, v_cache = decode_attention(
+                    q,
+                    cache["k"][li],
+                    cache["v"][li],
+                    start,
+                    k,
+                    v,
+                    layer["wo"]["q"],
+                    layer["wo"]["s"],
+                    layer.get("bo"),
+                    resid.reshape(b, cfg.d_model),
+                )
+                attn = None
+                x = hidden.reshape(b, t, cfg.d_model).astype(x.dtype)
+            else:
+                attn, k_cache, v_cache = decode_attention(
+                    q, cache["k"][li], cache["v"][li], start, k, v
+                )
             new_k_layers.append(k_cache)
             new_v_layers.append(v_cache)
         elif cache is not None:
@@ -583,7 +604,7 @@ def forward(
             q_offset = jnp.zeros((b,), jnp.int32)
 
         if paged or decode_fast or int8_fast:
-            pass  # attn computed above
+            pass  # attn computed above (or fully projected: attn is None)
         elif use_flash:
             attn = flash_attention(
                 *attn_in, causal=True, q_offset=q_offset, kv_len=kv_len
@@ -592,8 +613,9 @@ def forward(
             attn = attention_reference(
                 *attn_in, causal=True, q_offset=q_offset, kv_len=kv_len
             )
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
-        x = _fproj(attn, layer["wo"], layer.get("bo"), residual=resid)
+        if attn is not None:
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+            x = _fproj(attn, layer["wo"], layer.get("bo"), residual=resid)
 
         resid = x
         xn = None if fuse else _norm(x, layer["ln2"], cfg)
@@ -613,6 +635,43 @@ def forward(
                 up = _proj(xn, layer["w_up"])
             ff = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
         else:
+            from rten_tpu.kernels.quant_matmul import (
+                mlp_fused_supported,
+                quant_mlp_int8,
+            )
+
+            mlp_one_kernel = (
+                fuse
+                and fuse_norm
+                and isinstance(layer["w_up"], dict)
+                and isinstance(layer["w_down"], dict)
+                and layer["w_up"]["q"].shape == (cfg.d_model, cfg.d_ff)
+                and layer["w_down"]["q"].shape == (cfg.d_ff, cfg.d_model)
+                and mlp_fused_supported(cfg.d_model, cfg.d_ff)
+            )
+            if mlp_one_kernel:
+                # Whole MLP (pre-norm → up → GELU → down → +residual) as ONE
+                # kernel: both int8 matrices resident in VMEM, the FF-wide
+                # intermediate never touches HBM.
+                x2 = x.reshape(m_rows, cfg.d_model)
+                out = quant_mlp_int8(
+                    x2,
+                    layer["w_up"]["q"],
+                    layer["w_up"]["s"],
+                    layer["w_down"]["q"],
+                    layer["w_down"]["s"],
+                    layer.get("b_up"),
+                    layer.get("b_down"),
+                    activation="gelu",
+                    norm=cfg.norm,
+                    norm_scale=layer["ln2"]["scale"],
+                    norm_bias=layer["ln2"].get("bias"),
+                    norm_eps=cfg.layer_norm_eps,
+                    residual=resid.reshape(m_rows, cfg.d_model),
+                    out_dtype=x.dtype,
+                )
+                x = out.reshape(*x.shape)
+                continue
             # Pre-norm + GELU both fuse into the up-projection kernel.
             ff = (
                 _fproj(
