@@ -8,6 +8,7 @@ instead of one graph run per token with concat-grown caches.
 """
 
 from rten_tpu.generate.generator import (
+    EncDecBackend,
     Generator,
     GeneratorConfig,
     GraphBackend,
@@ -20,6 +21,7 @@ __all__ = [
     "Generator",
     "GeneratorConfig",
     "GraphBackend",
+    "EncDecBackend",
     "NativeBackend",
     "Metrics",
     "Sampler",

@@ -263,3 +263,41 @@ def backend_for_model(model, n_heads: int | None = None, batch: int = 1):
     except LiftError:
         return GraphBackend(model)
     return NativeBackend(params, cfg, batch=batch)
+
+
+class EncDecBackend:
+    """Generator backend over the native encoder-decoder
+    (models/encoder_decoder): ``encode`` once per utterance, then
+    prefill/decode over the self-attention cache with precomputed
+    cross-attention K/V — the reference's encoder-decoder generation flow
+    (rten-generate cross-attention caches, generator.rs:59-66) as two
+    compiled programs."""
+
+    def __init__(self, params, cfg, encoder_input, max_len: int | None = None):
+        import jax.numpy as jnp
+
+        from rten_tpu.models import encoder_decoder as ed
+
+        self._ed = ed
+        self.params = params
+        self.cfg = cfg
+        enc_states = ed.encode_jit(params, cfg, jnp.asarray(encoder_input))
+        self._enc_states = enc_states
+        self.max_len = max_len or cfg.max_text_ctx
+        self.state = ed.init_decoder_state(params, cfg, enc_states, self.max_len)
+
+    def reset(self) -> None:
+        self.state = self._ed.init_decoder_state(
+            self.params, self.cfg, self._enc_states, self.max_len
+        )
+
+    def _step(self, tokens: np.ndarray):
+        import jax.numpy as jnp
+
+        logits, self.state = self._ed.decode_step(
+            self.params, self.cfg, jnp.asarray(tokens, jnp.int32), self.state
+        )
+        return logits[:, -1, :]
+
+    prefill = _step
+    decode = _step

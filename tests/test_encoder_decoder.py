@@ -212,3 +212,29 @@ def test_int8_weights_close_to_fp():
         np.abs(np.asarray(lg_fp)).max() + 1e-9
     )
     assert rel2 < 0.08, rel2
+
+
+def test_encdec_generator_backend():
+    """Whisper-style transcription through the Generator pipeline."""
+    import itertools
+
+    from rten_tpu.generate import EncDecBackend, Generator, GeneratorConfig
+
+    cfg = ed.EncDecConfig(
+        n_mels=16, n_audio_ctx=32, vocab_size=64, d_model=64, n_heads=2,
+        n_audio_layers=1, n_text_layers=1, d_ff=128, max_text_ctx=32,
+        dtype=jnp.float32,
+    )
+    params = ed.init_params(jax.random.PRNGKey(0), cfg)
+    mel = np.random.default_rng(0).standard_normal((1, 16, 64)).astype(np.float32)
+
+    backend = EncDecBackend(params, cfg, mel)
+    gen = Generator(backend, GeneratorConfig(max_tokens=6)).with_prompt([1])
+    toks = [int(t[0]) for t in itertools.islice(gen, 6)]
+    assert len(toks) == 6
+
+    # deterministic: same prompt after reset produces the same tokens
+    backend.reset()
+    gen2 = Generator(backend, GeneratorConfig(max_tokens=6)).with_prompt([1])
+    toks2 = [int(t[0]) for t in itertools.islice(gen2, 6)]
+    assert toks == toks2
