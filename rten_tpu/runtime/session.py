@@ -139,6 +139,7 @@ class Model:
         opts: RunOptions | None = None,
     ) -> list[Any]:
         opts = opts or RunOptions()
+        opts = _apply_timing_env(opts)
         if isinstance(inputs, Mapping):
             in_ids = self._resolve_ids(inputs.keys())
             in_vals = list(inputs.values())
@@ -234,3 +235,26 @@ class Model:
             self.graph, pruned, values, resolved, OpContext("eager")
         )
         return [(o, values[o]) for o in resolved]
+
+
+def _apply_timing_env(opts: RunOptions) -> RunOptions:
+    """RTEN_TIMING env var (reference: src/model.rs:130-160,642): "1" or an
+    option string like "sort=name by-shape=1" turns on the per-op timing
+    table without touching call sites."""
+    import dataclasses
+    import os
+
+    spec = os.environ.get("RTEN_TIMING")
+    if not spec or opts.timing:
+        return opts
+    sort = opts.timing_sort
+    by_shape = opts.timing_by_shape
+    for tokens in spec.split():
+        key, _, val = tokens.partition("=")
+        if key == "sort" and val:
+            sort = val
+        elif key in ("by-shape", "by_shape"):
+            by_shape = val in ("1", "true", "yes", "")
+    return dataclasses.replace(
+        opts, timing=True, timing_sort=sort, timing_by_shape=by_shape
+    )

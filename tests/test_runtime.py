@@ -304,3 +304,24 @@ def test_donated_buffer_reuse_raises():
     assert float(out[0]) == 1.0
     with _pytest.raises(Exception):
         _ = np.asarray(buf)  # deleted by donation
+
+
+def test_rten_timing_env_var(monkeypatch, capsys):
+    """RTEN_TIMING env turns on the per-op table (reference src/model.rs:642)."""
+    import numpy as np
+
+    from rten_tpu.graph import Graph
+    from rten_tpu.format import save_rten
+    from rten_tpu.runtime.session import Model
+
+    g = Graph()
+    x = g.add_value("x", shape=[2, 4], dtype="float32")
+    w = g.add_constant("w", np.ones((4, 4), np.float32))
+    y = g.add_simple_op("MatMul", [x, w], name="mm")
+    g.inputs, g.outputs = [x], [y]
+    m = Model.load(save_rten(g))
+
+    monkeypatch.setenv("RTEN_TIMING", "sort=name")
+    m.run([np.ones((2, 4), np.float32)])
+    out = capsys.readouterr().out
+    assert "MatMul" in out and "total" in out
