@@ -10,7 +10,7 @@ three pieces the reference never had, built here TPU-native:
    ``jax.distributed.initialize`` from explicit args or RTEN_* env vars;
    after it, ``jax.devices()`` spans all hosts and pjit/shard_map programs
    run collectives over ICI/DCN.
-2. ``HeartbeatMonitor`` — a TCP heartbeat mesh between hosts (stdlib socket
+2. ``HeartbeatMonitor`` — a UDP heartbeat mesh between hosts (stdlib socket
    threads; no external deps). Inference has no optimizer state to lose, so
    the right recovery is detect-fast + restart-the-ring, not elastic
    training. The monitor reports peers whose heartbeats go stale.
@@ -91,6 +91,7 @@ class HeartbeatMonitor:
         interval: float = 0.5,
         timeout: float = 2.0,
         on_peer_dead: Callable[[int], None] | None = None,
+        bind_address: str = "0.0.0.0",
     ) -> None:
         self.host_id = host_id
         self.interval = interval
@@ -98,7 +99,10 @@ class HeartbeatMonitor:
         self.on_peer_dead = on_peer_dead
         self.peers = {pid: PeerState(addr) for pid, addr in peers.items()}
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self._sock.bind(("127.0.0.1", listen_port))
+        # Bind all interfaces by default — a loopback bind would silently
+        # drop beats from peers on OTHER hosts, defeating multi-host failure
+        # detection (override via bind_address to pin an interface).
+        self._sock.bind((bind_address, listen_port))
         self._sock.settimeout(0.2)
         self.port = self._sock.getsockname()[1]
         self._stop = threading.Event()

@@ -22,13 +22,39 @@ import jax
 import numpy as np
 
 
+def _snapshot_cache(cache: dict) -> tuple[dict, dict]:
+    """Flatten every cache leaf (k/v, int8-KV k_scale/v_scale, len, paged
+    variants — whatever the config produced) into named host arrays plus a
+    structure map for restore. Iterating all leaves rather than hard-coding
+    k/v/len is what keeps int8_kv engines restorable."""
+    arrays: dict[str, np.ndarray] = {}
+    structure: dict[str, int | None] = {}
+    for key, val in cache.items():
+        if isinstance(val, list):
+            structure[key] = len(val)
+            for li, leaf in enumerate(val):
+                arrays[f"{key}{li}"] = np.asarray(jax.device_get(leaf))
+        else:
+            structure[key] = None
+            arrays[key] = np.asarray(jax.device_get(val))
+    return arrays, structure
+
+
+def _restore_cache(arrays: dict, structure: dict) -> dict:
+    import jax.numpy as jnp
+
+    cache: dict = {}
+    for key, n in structure.items():
+        if n is None:
+            cache[key] = jnp.asarray(arrays[key])
+        else:
+            cache[key] = [jnp.asarray(arrays[f"{key}{li}"]) for li in range(n)]
+    return cache
+
+
 def snapshot_engine(engine) -> dict:
     """Capture a ServingEngine's session state (device → host copy)."""
-    arrays: dict[str, np.ndarray] = {}
-    for li, (k, v) in enumerate(zip(engine.cache["k"], engine.cache["v"])):
-        arrays[f"k{li}"] = np.asarray(jax.device_get(k))
-        arrays[f"v{li}"] = np.asarray(jax.device_get(v))
-    arrays["len"] = np.asarray(jax.device_get(engine.cache["len"]))
+    arrays, structure = _snapshot_cache(engine.cache)
     arrays["last_tokens"] = engine._last_tokens.copy()
     arrays["rng"] = np.asarray(jax.device_get(engine._rng))
 
@@ -46,6 +72,7 @@ def snapshot_engine(engine) -> dict:
         "slots": [None if r is None else req_meta(r) for r in engine.slots],
         "queue": [req_meta(r) for r in engine.queue],
         "steps": engine.steps,
+        "cache_structure": structure,
     }
     return {"arrays": arrays, "meta": meta}
 
@@ -58,12 +85,11 @@ def restore_engine(engine, snapshot: dict) -> None:
     arrays, meta = snapshot["arrays"], snapshot["meta"]
     import jax.numpy as jnp
 
-    n_layers = len(engine.cache["k"])
-    engine.cache = {
-        "k": [jnp.asarray(arrays[f"k{li}"]) for li in range(n_layers)],
-        "v": [jnp.asarray(arrays[f"v{li}"]) for li in range(n_layers)],
-        "len": jnp.asarray(arrays["len"]),
+    structure = meta.get("cache_structure") or {
+        key: (len(val) if isinstance(val, list) else None)
+        for key, val in engine.cache.items()
     }
+    engine.cache = _restore_cache(arrays, structure)
     engine._last_tokens = np.asarray(arrays["last_tokens"]).copy()
     engine._rng = jnp.asarray(arrays["rng"])
     engine.steps = int(meta["steps"])
@@ -88,30 +114,17 @@ def restore_engine(engine, snapshot: dict) -> None:
 def snapshot_backend(backend) -> dict:
     """Capture a Generator NativeBackend's KV session (multi-turn chat state,
     ≙ the reference Generator's cache + seq_len, generator.rs:59-80)."""
-    arrays = {
-        f"k{li}": np.asarray(jax.device_get(k))
-        for li, k in enumerate(backend.cache["k"])
-    }
-    arrays.update(
-        {
-            f"v{li}": np.asarray(jax.device_get(v))
-            for li, v in enumerate(backend.cache["v"])
-        }
-    )
-    arrays["len"] = np.asarray(jax.device_get(backend.cache["len"]))
-    return {"arrays": arrays, "meta": {"n_layers": len(backend.cache["k"])}}
+    arrays, structure = _snapshot_cache(backend.cache)
+    return {"arrays": arrays, "meta": {"cache_structure": structure}}
 
 
 def restore_backend(backend, snapshot: dict) -> None:
-    import jax.numpy as jnp
-
-    arrays = snapshot["arrays"]
-    n = snapshot["meta"]["n_layers"]
-    backend.cache = {
-        "k": [jnp.asarray(arrays[f"k{li}"]) for li in range(n)],
-        "v": [jnp.asarray(arrays[f"v{li}"]) for li in range(n)],
-        "len": jnp.asarray(arrays["len"]),
-    }
+    meta = snapshot["meta"]
+    structure = meta.get("cache_structure")
+    if structure is None:  # legacy snapshot
+        n = meta["n_layers"]
+        structure = {"k": n, "v": n, "len": None}
+    backend.cache = _restore_cache(snapshot["arrays"], structure)
 
 
 def save_snapshot(snapshot: dict, path: str) -> None:

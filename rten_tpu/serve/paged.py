@@ -53,10 +53,15 @@ class PagePool:
         dtype = dtype or cfg.dtype
         # FOLDED page storage [Hk, P, page·D/128, 128] — 128-lane minor dim
         # keeps XLA on the row-major layout (see models/decoder.init_cache).
+        # One extra physical page (index n_pages) is the SCRATCH page:
+        # inactive batch rows point their page table at it so the kernel's
+        # fused append lands in never-read memory instead of corrupting a
+        # live sequence's page 0.
         rows = page_size * cfg.head_dim // 128
-        shape = (cfg.kv_heads, n_pages, rows, 128)
+        shape = (cfg.kv_heads, n_pages + 1, rows, 128)
         self.k_pages = [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)]
         self.v_pages = [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)]
+        self.scratch_page = n_pages
         self.free: deque[int] = deque(range(n_pages))
 
     @property
@@ -72,7 +77,8 @@ class PagePool:
         self.free.extend(int(p) for p in pages)
 
     def write_prefix(self, li: int, page: int, k: jax.Array, v: jax.Array) -> None:
-        """Write a full-page [Hk, page_size, D] chunk into a page."""
+        """Write a prefix chunk into a page — either [Hk, page_size, D] tokens
+        or folded [Hk, rows, 128] rows (partial chunks update the page head)."""
         hk = k.shape[0]
         kf = k.reshape(hk, -1, 128)
         vf = v.reshape(hk, -1, 128)
@@ -159,13 +165,33 @@ class PagedServingEngine:
         if self.n_active == 0:
             return finished
 
-        # Grow pages for sequences crossing a page boundary this step.
+        # Grow pages for sequences whose next token falls outside their
+        # allocated pages (admission may already have allocated decode room,
+        # so this checks coverage, not a modulo). On pool exhaustion the
+        # sequence is PREEMPTED — pages released, request requeued at the
+        # front; admission later re-prefills prompt+output and continues —
+        # rather than raising MemoryError mid-step.
         psz = self.pool.page_size
-        for seq in self.seqs:
-            if seq is not None and seq.length % psz == 0:
-                seq.pages.extend(self.pool.alloc(1))
+        for i, seq in enumerate(self.seqs):
+            if seq is None or seq.length // psz < len(seq.pages):
+                continue
+            if self.pool.n_free == 0:
+                self.pool.release(seq.pages)
+                self.seqs[i] = None
+                self.queue.appendleft(seq.req)
+                continue
+            seq.pages.extend(self.pool.alloc(1))
+        if self.n_active == 0:
+            return finished
 
-        table = np.zeros((self.max_batch, max(1, self._table_width())), np.int32)
+        # Inactive rows (and table entries past a sequence's last page) point
+        # at the scratch page; their kv_len stays 0 so attention reads none
+        # of it, and the kernel's fused append writes harmlessly into scratch.
+        table = np.full(
+            (self.max_batch, max(1, self._table_width())),
+            self.pool.scratch_page,
+            np.int32,
+        )
         lens = np.zeros((self.max_batch,), np.int32)
         for i, seq in enumerate(self.seqs):
             if seq is None:
@@ -213,7 +239,10 @@ class PagedServingEngine:
         psz = self.pool.page_size
         while self.queue and self.n_active < self.max_batch:
             req = self.queue[0]
-            need = -(-(len(req.prompt) + 1) // psz)  # prompt + first decode page room
+            # Resume context: a PREEMPTED request re-prefills prompt+output
+            # and continues from the next token (output empty for fresh ones).
+            ctx = list(req.prompt) + list(req.output)
+            need = -(-(len(ctx) + 1) // psz)  # context + first decode page room
             if need > self.pool.n_free:
                 break  # wait for pages to free up
             self.queue.popleft()
@@ -222,7 +251,7 @@ class PagedServingEngine:
 
             # Batch-1 prefill at a bucketed length into a contiguous temp
             # cache, then scatter the prefix into the allocated pages.
-            prompt = np.asarray(req.prompt, np.int32)
+            prompt = np.asarray(ctx, np.int32)
             bucket = _bucket(len(prompt))
             padded = np.zeros((1, bucket), np.int32)
             padded[0, : len(prompt)] = prompt
@@ -230,16 +259,24 @@ class PagedServingEngine:
             logits, tmp = decoder.prefill(
                 self.params, self.cfg, jnp.asarray(padded), tmp
             )
+            # The temp cache stores FOLDED [1, Hk, S·D/128, 128] rows
+            # (decoder.init_cache) — slice per page in folded-row units, not
+            # token units (a token-unit slice on folded storage crashed any
+            # prompt spanning >1 page).
+            hd = self.cfg.head_dim
+            rows_per_page = psz * hd // 128
             for li in range(self.cfg.n_layers):
-                k_full = tmp["k"][li][0]  # [Hk, bucket, D]
-                v_full = tmp["v"][li][0]
+                k_full = tmp["k"][li].reshape(self.cfg.kv_heads, -1, 128)
+                v_full = tmp["v"][li].reshape(self.cfg.kv_heads, -1, 128)
                 for blk, page in enumerate(pages):
-                    lo = blk * psz
-                    n = min(psz, max(0, len(prompt) - lo))
-                    if n == 0:
-                        break
+                    if blk * psz >= len(prompt):
+                        break  # decode-room page: the kernel appends into it
+                    row_lo = blk * rows_per_page
                     self.pool.write_prefix(
-                        li, page, k_full[:, lo : lo + psz], v_full[:, lo : lo + psz]
+                        li,
+                        page,
+                        k_full[:, row_lo : row_lo + rows_per_page],
+                        v_full[:, row_lo : row_lo + rows_per_page],
                     )
 
             self._rng, sub = jax.random.split(self._rng)
@@ -255,7 +292,7 @@ class PagedServingEngine:
                 finished.append(req)
                 self.pool.release(pages)
             else:
-                self.seqs[slot] = _Seq(req=req, pages=pages, length=len(prompt))
+                self.seqs[slot] = _Seq(req=req, pages=pages, length=len(ctx))
         return finished
 
 

@@ -91,6 +91,38 @@ def test_engine_snapshot_restore_identical_continuation():
         assert outs_a[key] == out
 
 
+def test_engine_snapshot_restore_int8_kv():
+    """An int8_kv engine has k_scale/v_scale cache leaves; snapshot/restore
+    must carry them (regression: they were silently dropped, breaking
+    supervisor recovery for the INT8-KV configuration)."""
+    cfg = decoder.DecoderConfig(
+        vocab_size=64,
+        n_layers=2,
+        n_heads=2,
+        d_model=32,
+        d_ff=64,
+        max_seq=64,
+        int8_kv=True,
+    )
+    params = decoder.init_params(jax.random.PRNGKey(0), cfg)
+
+    eng_a = ServingEngine(params, cfg, max_batch=2, seed=0)
+    eng_a.submit(Request(prompt=[1, 2, 3], max_new_tokens=8))
+    (done_a,) = eng_a.run()
+
+    eng_b = ServingEngine(params, cfg, max_batch=2, seed=0)
+    eng_b.submit(Request(prompt=[1, 2, 3], max_new_tokens=8))
+    for _ in range(3):
+        eng_b.step()
+    snap = checkpoint.snapshot_engine(eng_b)
+    assert any(k.startswith("k_scale") for k in snap["arrays"])
+
+    eng_c = ServingEngine(params, cfg, max_batch=2, seed=0)
+    checkpoint.restore_engine(eng_c, snap)
+    (done_c,) = eng_c.run()
+    assert done_c.output == done_a.output
+
+
 def test_snapshot_save_load_roundtrip(tmp_path):
     eng = _make_engine()
     eng.submit(Request(prompt=[1, 2], max_new_tokens=4))

@@ -159,6 +159,87 @@ def test_paged_engine_matches_slot_engine():
     assert eng.pool.n_free == eng.pool.n_pages
 
 
+def test_paged_multipage_prompt_matches_slot_engine():
+    """A prompt spanning more than one page must prefill correctly — the
+    folded-storage slice in admission works in row units, not token units
+    (regression: token-unit slicing crashed any >1-page prompt)."""
+    import jax
+    from rten_tpu.serve.paged import PagedServingEngine
+
+    cfg = decoder.DecoderConfig(
+        vocab_size=128, n_layers=2, n_heads=2, d_model=32, d_ff=64, max_seq=512
+    )
+    params = decoder.init_params(jax.random.PRNGKey(2), cfg)
+    prompt = [(i * 7 + 3) % 128 for i in range(150)]  # 150 > page_size
+
+    ref = ServingEngine(params, cfg, max_batch=1, max_len=256, seed=0)
+    ref.submit(Request(prompt=prompt, max_new_tokens=6))
+    (ref_done,) = ref.run()
+
+    eng = PagedServingEngine(params, cfg, max_batch=1, n_pages=4, page_size=128, seed=0)
+    req = eng.submit(Request(prompt=prompt, max_new_tokens=6))
+    eng.run()
+    assert req.output == ref_done.output
+
+
+def test_paged_inactive_row_does_not_corrupt_live_pages():
+    """When one sequence retires, the surviving row must keep producing the
+    solo tokens — the retired row's (inactive) table entry points at the
+    scratch page so the kernel's fused append can't clobber live page 0."""
+    import jax
+    from rten_tpu.serve.paged import PagedServingEngine
+
+    cfg = decoder.DecoderConfig(
+        vocab_size=128, n_layers=2, n_heads=2, d_model=32, d_ff=64, max_seq=512
+    )
+    params = decoder.init_params(jax.random.PRNGKey(3), cfg)
+
+    ref = ServingEngine(params, cfg, max_batch=1, max_len=256, seed=0)
+    ref.submit(Request(prompt=[1, 2, 3, 4], max_new_tokens=10))
+    (ref_done,) = ref.run()
+
+    # Request A (submitted first → owns page 0) outlives request B by 8
+    # steps; those steps run with row 1 inactive.
+    eng = PagedServingEngine(params, cfg, max_batch=2, n_pages=6, page_size=128, seed=0)
+    req_a = eng.submit(Request(prompt=[1, 2, 3, 4], max_new_tokens=10))
+    eng.submit(Request(prompt=[9, 8], max_new_tokens=2))
+    eng.run()
+    assert req_a.output == ref_done.output
+
+
+def test_paged_preemption_on_pool_exhaustion():
+    """Pool exhaustion during page growth preempts the sequence (release +
+    requeue + re-prefill of prompt+output) instead of raising MemoryError;
+    every request still finishes with the solo tokens."""
+    import jax
+    from rten_tpu.serve.paged import PagedServingEngine
+
+    cfg = decoder.DecoderConfig(
+        vocab_size=128, n_layers=2, n_heads=2, d_model=32, d_ff=64, max_seq=512
+    )
+    params = decoder.init_params(jax.random.PRNGKey(4), cfg)
+    prompts = [
+        [(i * 5 + 1) % 128 for i in range(120)],
+        [(i * 11 + 2) % 128 for i in range(120)],
+    ]
+
+    ref_out = {}
+    for p in prompts:
+        ref = ServingEngine(params, cfg, max_batch=1, max_len=256, seed=0)
+        ref.submit(Request(prompt=p, max_new_tokens=20))
+        (d,) = ref.run()
+        ref_out[tuple(p)] = d.output
+
+    # 3 pages for two sequences that each need 2 → one must be preempted.
+    eng = PagedServingEngine(params, cfg, max_batch=2, n_pages=3, page_size=128, seed=0)
+    reqs = [eng.submit(Request(prompt=p, max_new_tokens=20)) for p in prompts]
+    done = eng.run()
+    assert len(done) == 2
+    for p, r in zip(prompts, reqs):
+        assert r.output == ref_out[tuple(p)], f"prompt head {p[:3]}"
+    assert eng.pool.n_free == 3
+
+
 def test_paged_engine_page_pressure():
     """More requests than the pool can hold at once: admission waits for
     freed pages and every request still completes."""
