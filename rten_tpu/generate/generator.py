@@ -13,9 +13,10 @@ Two backends:
   single XLA program per step, Pallas attention, optional INT8 weights).
 - ``GraphBackend`` — any loaded `.rten`/ONNX graph following HF Optimum
   conventions (input_ids / attention_mask / position_ids /
-  past_key_values.N.key|value). Runs the graph in interpret mode because the
-  ONNX-style cache grows per step (dynamic shapes); use a native model for
-  production serving.
+  past_key_values.N.key|value). Mask-honoring graphs run COMPILED at
+  bucketed cache lengths over a preallocated KV buffer (one XLA program per
+  bucket); graphs without an attention_mask fall back to exact-shape
+  interpret execution. Use a native model for production serving.
 """
 
 from __future__ import annotations
@@ -70,21 +71,60 @@ class NativeBackend:
         return logits[:, -1, :]
 
 
+def _len_bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return -(-n // 1024) * 1024
+
+
+import functools  # noqa: E402
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_seq(cache, new, start):
+    """Write ``new`` at sequence offset ``start`` (seq axis = -2). The cache
+    buffer is donated — XLA updates it in place between steps."""
+    idx = [jnp.int32(0)] * cache.ndim
+    idx[-2] = jnp.int32(start)
+    return jax.lax.dynamic_update_slice(cache, new.astype(cache.dtype), tuple(idx))
+
+
 class GraphBackend:
     """Backend over a loaded graph Model using HF-Optimum naming conventions
     (reference: from_model_config name matching, generator.rs:319 +
-    ModelInputsConfig defaults :151-170)."""
+    ModelInputsConfig defaults :151-170).
+
+    Execution strategy (the TPU redesign of the reference's per-step graph
+    run, generator.rs:565-641): the KV state lives in a PREALLOCATED padded
+    buffer of bucketed length P; every decode step feeds the whole buffer
+    plus an attention_mask that marks [0, len) and the new tail positions
+    valid, runs the graph as ONE COMPILED XLA program (cached per bucket),
+    and scatters the appended K/V back into the buffer with a donated
+    dynamic_update_slice. The graph still performs its own Concat-on-cache
+    internally, but shapes stay fixed for an entire bucket — no per-token
+    retrace, no interpret-mode dispatch, no growing reallocations.
+
+    This is exact for any graph that honors attention_mask for K/V validity
+    (the HF Optimum export contract); graphs without a mask input fall back
+    to the legacy exact-shape interpret path.
+
+    ``constant_inputs`` are loop-invariant inputs (e.g. encoder states);
+    on the first step the backend hoists everything derivable from them via
+    ``Model.partial_run`` (reference: generator.rs:533-544) and feeds the
+    frontier values back as extra inputs on every subsequent run, so the
+    per-step program skips the invariant subgraph entirely.
+    """
 
     CACHE_PATTERNS = (
         re.compile(r"^past_key_values\.(\d+)\.(key|value)$"),
         re.compile(r"^past_key_values\.(\d+)\.(decoder|encoder)\.(key|value)$"),
     )
 
-    def __init__(self, model):
+    def __init__(self, model, *, mode: str | None = None, constant_inputs=None):
         from rten_tpu.runtime.session import RunOptions
 
         self.model = model
-        self.opts = RunOptions(mode="interpret")
         names = model.input_names()
         self.input_ids_name = "input_ids"
         self.attention_mask_name = "attention_mask" if "attention_mask" in names else None
@@ -99,9 +139,22 @@ class GraphBackend:
             for n in out_names
             if n.startswith("present")
         }
-        # Cache state: name → array
-        self.cache: dict[str, np.ndarray] = {}
+        if mode is None:
+            mode = (
+                "compiled"
+                if self.attention_mask_name and self.cache_inputs
+                else "interpret"
+            )
+        self.mode = mode
+        self.opts = RunOptions(
+            mode="compile" if mode == "compiled" else "interpret"
+        )
+        self.constant_inputs: dict[str, Any] = dict(constant_inputs or {})
+        self._hoisted: dict[int, Any] | None = None
+        # KV state: name → padded device array (compiled) / exact array (legacy)
+        self.cache: dict[str, Any] = {}
         self.seq_len = 0
+        self._bucket = 0
         self._kv_meta = self._discover_kv_meta()
 
     def _discover_kv_meta(self):
@@ -115,6 +168,7 @@ class GraphBackend:
     def reset(self) -> None:
         self.cache = {}
         self.seq_len = 0
+        self._bucket = 0
 
     def _empty_cache_value(self, name: str, batch: int) -> np.ndarray:
         shape = list(self._kv_meta.get(name) or [])
@@ -125,9 +179,25 @@ class GraphBackend:
             dims[-2] = 0
         return np.zeros(dims, dtype=np.float32)
 
-    def _step(self, tokens: np.ndarray) -> jax.Array:
+    def _base_inputs(self) -> dict[Any, Any]:
+        inputs: dict[Any, Any] = dict(self.constant_inputs)
+        if self.constant_inputs and self._hoisted is None:
+            # One-time loop-invariant hoist (reference generator.rs:533-544):
+            # partial_run evaluates everything reachable from the constant
+            # inputs and hands back the frontier values.
+            self._hoisted = dict(
+                self.model.partial_run(self.constant_inputs, [self.logits_name])
+            )
+        if self._hoisted:
+            inputs.update(self._hoisted)
+        return inputs
+
+    # -- legacy exact-shape interpret path -----------------------------------
+
+    def _step_legacy(self, tokens: np.ndarray) -> jax.Array:
         batch, t = tokens.shape
-        inputs: dict[str, Any] = {self.input_ids_name: tokens.astype(np.int32)}
+        inputs = self._base_inputs()
+        inputs[self.input_ids_name] = tokens.astype(np.int32)
         new_len = self.seq_len + t
         if self.attention_mask_name:
             inputs[self.attention_mask_name] = np.ones((batch, new_len), np.int32)
@@ -144,6 +214,85 @@ class GraphBackend:
             self.cache[self.cache_outputs[out_name]] = np.asarray(vals)
         self.seq_len = new_len
         return jnp.asarray(logits[:, -1, :])
+
+    # -- compiled bucketed path ----------------------------------------------
+
+    def _grow_cache(self, target: int) -> None:
+        """Pad every KV buffer's sequence axis to ``target`` (next bucket)."""
+        for name, buf in self.cache.items():
+            pad = [(0, 0)] * buf.ndim
+            pad[-2] = (0, target - buf.shape[-2])
+            self.cache[name] = jnp.pad(buf, pad)
+        self._bucket = target
+
+    def _step_compiled(self, tokens: np.ndarray) -> jax.Array:
+        batch, t = tokens.shape
+        L = self.seq_len
+
+        if not self.cache:
+            # Bucketed prefill: input_ids padded to a length bucket, pad
+            # positions masked off; past arrives with a zero-length seq axis.
+            tb = _len_bucket(t)
+            ids = np.zeros((batch, tb), np.int32)
+            ids[:, :t] = tokens
+            mask = np.zeros((batch, tb), np.int32)
+            mask[:, :t] = 1
+            inputs = self._base_inputs()
+            inputs[self.input_ids_name] = ids
+            inputs[self.attention_mask_name] = mask
+            if self.position_ids_name:
+                pos = np.minimum(np.arange(tb), t - 1).astype(np.int32)
+                inputs[self.position_ids_name] = pos[None, :].repeat(batch, 0)
+            for name in self.cache_inputs:
+                inputs[name] = self._empty_cache_value(name, batch)
+            wanted = [self.logits_name, *self.cache_outputs.keys()]
+            outs = self.model.run(inputs, wanted, self.opts)
+            logits = outs[0]
+            self._bucket = _len_bucket(t + 1)
+            for out_name, present in zip(list(self.cache_outputs.keys()), outs[1:]):
+                present = jnp.asarray(present)
+                pad = [(0, 0)] * present.ndim
+                pad[-2] = (0, self._bucket - present.shape[-2])
+                # Only the first t seq entries are real; the padding beyond
+                # stays masked until overwritten by decode appends.
+                self.cache[self.cache_outputs[out_name]] = jnp.pad(present, pad)
+            self.seq_len = t
+            return jnp.asarray(logits)[:, t - 1, :]
+
+        if L + t > self._bucket:
+            self._grow_cache(_len_bucket(L + t))
+        P = self._bucket
+
+        # Valid columns: the real prefix [0, L) plus the t new tail positions.
+        mask = np.zeros((batch, P + t), np.int32)
+        mask[:, :L] = 1
+        mask[:, P:] = 1
+        inputs = self._base_inputs()
+        inputs[self.input_ids_name] = tokens.astype(np.int32)
+        inputs[self.attention_mask_name] = mask
+        if self.position_ids_name:
+            inputs[self.position_ids_name] = np.arange(L, L + t, dtype=np.int32)[
+                None, :
+            ].repeat(batch, 0)
+        for name in self.cache_inputs:
+            inputs[name] = self.cache[name]
+        wanted = [self.logits_name, *self.cache_outputs.keys()]
+        outs = self.model.run(inputs, wanted, self.opts)
+        logits = outs[0]
+        start = jnp.int32(L)
+        for out_name, present in zip(list(self.cache_outputs.keys()), outs[1:]):
+            key = self.cache_outputs[out_name]
+            new = jax.lax.slice_in_dim(
+                jnp.asarray(present), P, P + t, axis=jnp.ndim(present) - 2
+            )
+            self.cache[key] = _append_seq(self.cache[key], new, start)
+        self.seq_len = L + t
+        return jnp.asarray(logits)[:, -1, :]
+
+    def _step(self, tokens: np.ndarray) -> jax.Array:
+        if self.mode == "compiled":
+            return self._step_compiled(tokens)
+        return self._step_legacy(tokens)
 
     def prefill(self, tokens: np.ndarray) -> jax.Array:
         return self._step(tokens)

@@ -17,6 +17,18 @@ from rten_tpu.ops.registry import OpError, register
 def matmul(ctx, attrs, a, b):
     a = jnp.asarray(a)
     b = jnp.asarray(b)
+    # Absorbed input permutations (optimizer transpose-absorption pass,
+    # reference FusedTranspose src/ops/fused.rs:69): "reverse" = the ONNX
+    # Transpose default (reverse all dims). Under whole-plan jit XLA folds
+    # the permutation into dot_general's dimension numbers — the operand is
+    # never materialized transposed, which is the reference's lazy-permute
+    # intent done the XLA way.
+    perm_a = attrs.get("perm_a")
+    perm_b = attrs.get("perm_b")
+    if perm_a is not None:
+        a = jnp.transpose(a, None if perm_a == "reverse" else perm_a)
+    if perm_b is not None:
+        b = jnp.transpose(b, None if perm_b == "reverse" else perm_b)
     if a.ndim == 0 or b.ndim == 0:
         raise OpError("MatMul inputs must be at least 1-D")
     return dispatch.matmul(a, b)

@@ -107,6 +107,97 @@ def sweep_dead_constants(graph: Graph) -> Graph:
     return graph
 
 
+def convert_captured_values_to_constants(graph: Graph) -> Graph:
+    """Captured values in If-subgraphs that resolve to a CONSTANT in the
+    enclosing graph become local constants of the subgraph (reference:
+    src/optimize.rs:320 convert_captured_values_to_constants). This runs
+    before constant propagation so subgraph expressions over captured
+    weights fold at load time. Handles one nesting level; ``optimize_graph``
+    recurses, so deeper levels convert against their (already-converted)
+    parents."""
+    from rten_tpu.graph import subgraphs_of
+
+    for _, op in graph.operator_nodes():
+        for sub in subgraphs_of(op):
+            remaining: list[int] = []
+            for cap in sub.captures:
+                name = sub.node_name(cap)
+                outer = graph.get_node_id(name)
+                node = graph.nodes[outer] if outer is not None else None
+                if isinstance(node, ConstantNode):
+                    # Share the array (zero-copy view into the model buffer).
+                    sub.nodes[cap] = ConstantNode(sub.nodes[cap].name, node.value)
+                else:
+                    remaining.append(cap)
+            sub.captures = remaining
+    return graph
+
+
+def absorb_transposes(graph: Graph) -> Graph:
+    """``MatMul(Transpose(X), Y)`` → ``MatMul(X, Y)`` with a ``perm_a``/
+    ``perm_b`` attr (reference: src/optimize.rs:388 fuse_transpose wrapping
+    with FusedTranspose, src/ops/fused.rs:69). The reference's win is not
+    materializing the transposed operand; the XLA-native analog is letting
+    the dot emitter fold the permutation into dimension numbers — absorbing
+    at graph level removes the Transpose from the plan so that fold happens
+    even across what would be two separate dispatches in interpret mode."""
+    sole = _single_consumer(graph)
+    for _, op in list(graph.operator_nodes()):
+        if op.op_type != "Transpose" or not op.outputs or op.outputs[0] is None:
+            continue
+        t_out = op.outputs[0]
+        tgt_id = sole.get(t_out)
+        if tgt_id is None:
+            continue
+        tgt = _op(graph, tgt_id)
+        # Same op whitelist as the reference: operators known to handle a
+        # permuted input without a copy.
+        if tgt.op_type != "MatMul":
+            continue
+        x = op.inputs[0]
+        if x is None or t_out not in tgt.inputs:
+            continue
+        idx = tgt.inputs.index(t_out)
+        attr = "perm_a" if idx == 0 else "perm_b"
+        if attr in tgt.attrs:
+            continue  # already absorbed one on this slot
+        # ONNX Transpose default (no perm) reverses all dims; keep that
+        # rank-agnostic with the "reverse" sentinel.
+        perm = op.attrs.get("perm")
+        tgt.attrs[attr] = list(perm) if perm is not None else "reverse"
+        tgt.inputs[idx] = x
+        # The Transpose is now an orphan; it drops out of future plans and
+        # sweep_dead_constants reclaims a constant input if unused.
+    return graph
+
+
+def sweep_dead_operators(graph: Graph) -> Graph:
+    """Drop operators none of whose outputs are consumed — the orphans left
+    behind by fusions (absorbed Transposes, the Sigmoid half of a fused SiLU,
+    GELU chains). The executor's plan already skips them (reference relies on
+    the same property, plans are DFS-from-outputs); sweeping keeps the node
+    table honest for introspection and lets sweep_dead_constants reclaim
+    their constant inputs."""
+    from rten_tpu.graph import operator_dependencies
+
+    changed = True
+    while changed:
+        changed = False
+        needed: set[int] = set(graph.outputs)
+        for _, op in graph.operator_nodes():
+            needed.update(i for i in operator_dependencies(graph, op) if i is not None)
+        for op_id, op in list(graph.operator_nodes()):
+            live = any(
+                o in needed and not isinstance(graph.nodes[o], ConstantNode)
+                for o in op.outputs
+                if o is not None
+            )  # outputs turned ConstantNode by folding no longer need the op
+            if not live:
+                graph.nodes[op_id] = ValueNode(op.name, None)
+                changed = True
+    return graph
+
+
 def _producer_map(graph: Graph) -> dict[int, int]:
     return graph.producer_of()
 

@@ -218,8 +218,12 @@ class Model:
         opts: RunOptions | None = None,
     ) -> list[tuple[int, Any]]:
         """Evaluate as much of the graph as possible given only ``inputs``
-        (reference: src/model.rs:694 → src/graph.rs:1237). Used by the
-        generation loop to hoist loop-invariant subgraphs. Always eager."""
+        (reference: src/model.rs:694 → src/graph.rs:1237). Returns the
+        resolved requested outputs PLUS the evaluation frontier — computed
+        values consumed by operators that could NOT run (reference
+        partial_run returns these leaves so the generation loop can hoist
+        loop-invariant subgraphs, generator.rs:533-544, and feed them back
+        as extra inputs on every step). Always eager."""
         del opts
         in_ids = self._resolve_ids(inputs.keys())
         out_ids = self._resolve_ids(outputs)
@@ -234,7 +238,23 @@ class Model:
         executor.execute_plan(
             self.graph, pruned, values, resolved, OpContext("eager")
         )
-        return [(o, values[o]) for o in resolved]
+        from rten_tpu.graph import operator_dependencies
+
+        executed = set(pruned)
+        computed = {
+            o
+            for op_id in pruned
+            for o in self.graph.nodes[op_id].outputs
+            if o is not None
+        }
+        frontier: list[int] = []
+        for op_id in plan:
+            if op_id in executed:
+                continue
+            for dep in operator_dependencies(self.graph, self.graph.nodes[op_id]):
+                if dep in computed and dep not in resolved and dep not in frontier:
+                    frontier.append(dep)
+        return [(o, values[o]) for o in list(resolved) + frontier]
 
 
 def _apply_timing_env(opts: RunOptions) -> RunOptions:

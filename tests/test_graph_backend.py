@@ -1,0 +1,216 @@
+"""GraphBackend compiled-decode tests.
+
+The reference generates through arbitrary ONNX decoder graphs one
+`Model::run` per token with a concat-grown cache
+(/root/reference/rten-generate/src/generator.rs:511-651). The TPU redesign
+must do the same for graphs that DON'T lift onto the native decoder — but
+compiled: bucketed prefill + preallocated padded KV buffer + one XLA
+program per bucket. These tests build a small HF-Optimum-convention decoder
+graph from primitive ops (Gather/MatMul/Concat/Softmax, mask-honoring
+attention) and check the compiled path is token-exact vs the legacy
+exact-shape interpret path, compiles O(buckets) programs, and hoists
+loop-invariant subgraphs via partial_run (generator.rs:533-544).
+"""
+
+import numpy as np
+import pytest
+
+from rten_tpu.generate import Generator, GeneratorConfig
+from rten_tpu.generate.generator import GraphBackend
+from rten_tpu.graph import Graph
+from rten_tpu.runtime.session import Model, ModelOptions
+
+V, D = 32, 16
+MAXPOS = 256
+
+
+def build_decoder_graph(rng, with_bias_input=False):
+    """input_ids/attention_mask/position_ids/past_key_values.0.* → logits +
+    present.0.* — single-head attention with 3-D [B, S, D] KV (the
+    reference's 3-D KvCacheData layout, generator.rs:59-66). Validity and
+    causality both derive from attention_mask + position_ids, so bucketed
+    padding is exact."""
+    g = Graph()
+    ids = g.add_value("input_ids", ["batch", None])
+    mask = g.add_value("attention_mask", ["batch", None])
+    pos = g.add_value("position_ids", ["batch", None])
+    pk_in = g.add_value("past_key_values.0.key", ["batch", None, D])
+    pv_in = g.add_value("past_key_values.0.value", ["batch", None, D])
+    g.inputs = [ids, mask, pos, pk_in, pv_in]
+
+    def c(name, arr):
+        return g.add_constant(name, np.asarray(arr))
+
+    wte = c("wte", rng.standard_normal((V, D)).astype(np.float32) * 0.5)
+    wpe = c("wpe", rng.standard_normal((MAXPOS, D)).astype(np.float32) * 0.1)
+    wq = c("wq", rng.standard_normal((D, D)).astype(np.float32) * 0.3)
+    wk = c("wk", rng.standard_normal((D, D)).astype(np.float32) * 0.3)
+    wv = c("wv", rng.standard_normal((D, D)).astype(np.float32) * 0.3)
+    wo = c("wo", rng.standard_normal((D, D)).astype(np.float32) * 0.3)
+    wlm = c("wlm", rng.standard_normal((D, V)).astype(np.float32) * 0.5)
+
+    emb = g.add_simple_op("Gather", [wte, ids], {"axis": 0}, name="emb")
+    pemb = g.add_simple_op("Gather", [wpe, pos], {"axis": 0}, name="pemb")
+    x = g.add_simple_op("Add", [emb, pemb], name="x")
+
+    q = g.add_simple_op("MatMul", [x, wq], name="q")
+    k = g.add_simple_op("MatMul", [x, wk], name="k")
+    v = g.add_simple_op("MatMul", [x, wv], name="v")
+
+    # Output value nodes carry the exact HF-Optimum names the backend maps.
+    pk = g.add_value("present.0.key")
+    g.add_operator("concat_k", "Concat", {"axis": 1}, [pk_in, k], [pk])
+    pv = g.add_value("present.0.value")
+    g.add_operator("concat_v", "Concat", {"axis": 1}, [pv_in, v], [pv])
+
+    pk_t = g.add_simple_op("Transpose", [pk], {"perm": [0, 2, 1]}, name="pk_t")
+    raw = g.add_simple_op("MatMul", [q, pk_t], name="scores_raw")
+    scale = c("scale", np.float32(1.0 / np.sqrt(D)))
+    scores = g.add_simple_op("Mul", [raw, scale], name="scores")
+
+    # kpos = cumsum(mask) - 1 (true position of each cache column, pads
+    # repeat the previous value and are separately masked off)
+    mf = g.add_simple_op("Cast", [mask], {"to": "float32"}, name="mf")
+    one_ax = c("one_ax", np.int32(1))
+    csum = g.add_simple_op("CumSum", [mf, one_ax], name="csum")
+    onef = c("onef", np.float32(1.0))
+    kpos = g.add_simple_op("Sub", [csum, onef], name="kpos")
+    qposf = g.add_simple_op("Cast", [pos], {"to": "float32"}, name="qposf")
+    ax1 = c("ax1", np.int32([1]))
+    ax2 = c("ax2", np.int32([2]))
+    kpos_b = g.add_simple_op("Unsqueeze", [kpos, ax1], name="kpos_b")  # [B,1,S]
+    qpos_b = g.add_simple_op("Unsqueeze", [qposf, ax2], name="qpos_b")  # [B,T,1]
+    causal = g.add_simple_op("LessOrEqual", [kpos_b, qpos_b], name="causal")
+    mask_b = g.add_simple_op("Unsqueeze", [mask, ax1], name="mask_b")  # [B,1,S]
+    valid = g.add_simple_op("Mul", [causal, mask_b], name="valid")
+    validf = g.add_simple_op("Cast", [valid], {"to": "float32"}, name="validf")
+    vm1 = g.add_simple_op("Sub", [validf, onef], name="vm1")
+    big = c("big", np.float32(1e9))
+    bias = g.add_simple_op("Mul", [vm1, big], name="bias")
+    masked = g.add_simple_op("Add", [scores, bias], name="masked")
+
+    probs = g.add_simple_op("Softmax", [masked], {"axis": -1}, name="probs")
+    ctx = g.add_simple_op("MatMul", [probs, pv], name="ctx")
+    proj = g.add_simple_op("MatMul", [ctx, wo], name="proj")
+    h = g.add_simple_op("Add", [proj, x], name="h")
+    logits = g.add_value("logits")
+    g.add_operator("lm", "MatMul", {}, [h, wlm], [logits])
+
+    if with_bias_input:
+        # A loop-invariant subgraph hanging off an extra input: bias_in → ×2
+        # → added to logits. partial_run should hoist the Mul.
+        bias_in = g.add_value("logit_bias_in", [V])
+        g.inputs.append(bias_in)
+        two = c("two", np.float32(2.0))
+        scaled_bias = g.add_simple_op("Mul", [bias_in, two], name="scaled_bias")
+        biased = g.add_value("logits_biased")
+        g.add_operator("add_bias", "Add", {}, [logits, scaled_bias], [biased])
+        logits = biased
+
+    g.outputs = [logits, pk, pv]
+    return g
+
+
+def _generate(backend, prompt, n):
+    gen = Generator(backend, GeneratorConfig(max_tokens=n)).with_prompt(prompt)
+    return [int(t[0]) for t in gen]
+
+
+@pytest.fixture
+def model():
+    rng = np.random.default_rng(0)
+    return Model(
+        build_decoder_graph(rng),
+        options=ModelOptions(enable_optimization=False),
+    )
+
+
+def test_backend_auto_selects_compiled(model):
+    be = GraphBackend(model)
+    assert be.mode == "compiled"
+
+
+def test_compiled_matches_legacy_interpret(model):
+    prompt = [3, 7, 1, 9]
+    legacy = _generate(GraphBackend(model, mode="interpret"), prompt, 12)
+    compiled = _generate(GraphBackend(model), prompt, 12)
+    assert compiled == legacy
+
+
+def test_compiled_bucket_growth_matches_legacy(model):
+    """Crossing a cache bucket boundary (32 → 64) must stay token-exact."""
+    prompt = [5, 2]
+    legacy = _generate(GraphBackend(model, mode="interpret"), prompt, 40)
+    compiled = _generate(GraphBackend(model), prompt, 40)
+    assert compiled == legacy
+
+
+def test_compiled_program_count_is_per_bucket(model):
+    """40 decode steps must compile O(buckets) XLA programs, not O(steps) —
+    the whole point vs the reference's per-shape replanning."""
+    be = GraphBackend(model)
+    _generate(be, [5, 2], 40)
+    # prefill (bucket 32) + decode at bucket 32 + decode at bucket 64
+    assert len(model._compiled) <= 3
+
+
+def test_multi_turn_append_prompt(model):
+    """append_prompt feeds a >1-token chunk through the decode path (the
+    reference's multi-turn chat flow, generator.rs:474)."""
+    be_a = GraphBackend(model)
+    gen = Generator(be_a, GeneratorConfig(max_tokens=4)).with_prompt([3, 7])
+    first = [int(t[0]) for t in gen]
+    gen.append_prompt([11, 4])
+    gen.config = GeneratorConfig(max_tokens=4)
+    gen._emitted = 0
+    second = [int(t[0]) for t in gen]
+
+    be_b = GraphBackend(model, mode="interpret")
+    gen_b = Generator(be_b, GeneratorConfig(max_tokens=4)).with_prompt([3, 7])
+    first_b = [int(t[0]) for t in gen_b]
+    gen_b.append_prompt([11, 4])
+    gen_b.config = GeneratorConfig(max_tokens=4)
+    gen_b._emitted = 0
+    second_b = [int(t[0]) for t in gen_b]
+    assert (first, second) == (first_b, second_b)
+
+
+def test_partial_run_returns_frontier_values():
+    rng = np.random.default_rng(1)
+    model = Model(
+        build_decoder_graph(rng, with_bias_input=True),
+        options=ModelOptions(enable_optimization=False),
+    )
+    bias = np.linspace(-1, 1, V).astype(np.float32)
+    resolved = model.partial_run({"logit_bias_in": bias}, ["logits_biased"])
+    vals = {model.graph.node_name(nid): v for nid, v in resolved}
+    assert "scaled_bias_out" in vals  # the hoisted frontier value
+    np.testing.assert_allclose(np.asarray(vals["scaled_bias_out"]), bias * 2.0)
+
+
+def test_hoisting_reduces_per_step_ops_and_stays_exact():
+    rng = np.random.default_rng(1)
+    model = Model(
+        build_decoder_graph(rng, with_bias_input=True),
+        options=ModelOptions(enable_optimization=False),
+    )
+    bias = np.linspace(-1, 1, V).astype(np.float32)
+
+    hoisted_be = GraphBackend(model, constant_inputs={"logit_bias_in": bias})
+    toks = _generate(hoisted_be, [3, 7, 1], 8)
+    assert hoisted_be._hoisted  # the invariant subgraph was hoisted
+
+    # Un-hoisted reference: bias fed per step as a plain input.
+    plain_be = GraphBackend(model, mode="interpret")
+    plain_be.constant_inputs = {"logit_bias_in": bias}
+    plain_be._hoisted = {}  # disable the hoist, keep the input
+    toks_plain = _generate(plain_be, [3, 7, 1], 8)
+    assert toks == toks_plain
+
+    # Fewer ops per step once the frontier value arrives as an input.
+    g = model.graph
+    out_id = model.node_id("logits_biased")
+    full_plan = g.create_plan(model.input_ids, [out_id])
+    hoist_id = model.node_id("scaled_bias_out")
+    hoisted_plan = g.create_plan(model.input_ids + [hoist_id], [out_id])
+    assert len(hoisted_plan) < len(full_plan)

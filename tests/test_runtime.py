@@ -105,8 +105,11 @@ def test_partial_run_hoists_invariant_subgraph(rng):
     model = Model(g, options=ModelOptions(enable_optimization=False))
     av = np.array([2.0, 3.0], dtype=np.float32)
     resolved = model.partial_run({"a": av}, ["sum_out"])
-    # Can't reach "sum" without b, but a_sq is computable.
-    assert resolved == []
+    # Can't reach "sum" without b, but a_sq IS computable — it comes back as
+    # a frontier value (reference partial_run returns the evaluation leaves
+    # so generation loops can hoist them, generator.rs:533-544).
+    assert [model.graph.node_name(nid) for nid, _ in resolved] == ["a_sq_out"]
+    np.testing.assert_allclose(np.asarray(resolved[0][1]), av * av)
     resolved = model.partial_run({"a": av}, ["a_sq_out"])
     assert len(resolved) == 1
     np.testing.assert_allclose(np.asarray(resolved[0][1]), av * av)
