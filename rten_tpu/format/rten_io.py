@@ -266,7 +266,13 @@ def _attrs_from_fbs(
                 out[field] = [int(v) for v in raw]
         elif kind.startswith("enum:"):
             if raw is not None:
-                out[field] = _enum_to_ir(_ENUMS[kind[5:]], int(raw))
+                name = _enum_to_ir(_ENUMS[kind[5:]], int(raw))
+                # An AutoPad of NotSet means "use explicit pads" — keep the
+                # IR attr absent (ops treat absence as not_set), preserving
+                # save→load identity.
+                if kind == "enum:AutoPad" and name == "not_set":
+                    continue
+                out[field] = name
         elif kind == "graph":
             if raw is not None:
                 out[field] = _graph_from_fbs(raw, tensor_data)
@@ -405,6 +411,14 @@ def _operator_to_fbs(node: OperatorNode, segment: _TensorSegment, inline: bool) 
         for field, kind in field_specs.items():
             val = node.attrs.get(field)
             if val is None:
+                if kind == "enum:AutoPad":
+                    # CRITICAL: most attr tables default AutoPad to Same
+                    # (schema.fbs:133 puts Same first), and FlatBuffers
+                    # omits default-valued fields — so an absent IR attr
+                    # (= explicit pads) MUST be written as NotSet or every
+                    # reader sees SAME padding. Caught by the ResNet-50
+                    # ONNX→.rten e2e parity test.
+                    tbl[field] = _enum_from_ir(_ENUMS["AutoPad"], "not_set")
                 continue
             if kind == "scalar":
                 tbl[field] = val
