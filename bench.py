@@ -134,13 +134,19 @@ def main() -> None:
     # The chip is time-shared (tunnel): use min-per-length over many trials
     # (NOT min over slopes — unpaired mins bias the slope toward zero), and
     # retry when contention produces a physically impossible slope.
+    # Window must be WIDE (64 vs 512 steps): launch jitter through the
+    # tunnel is multi-ms, so a 48-step window's ~4 ms signal drowns in it —
+    # round-1's 0.56-of-peak reading was largely that artifact.
     mxu_peak_step = 2 * n**3 / (197.0 * 1e12)
-    tflops = float("nan")
-    for _ in range(4):
-        mm_step = marginal_step_time(lambda s: mm_chain(steps=s), 8, 56, trials=10)
-        if mm_step >= 0.9 * mxu_peak_step:
-            tflops = 2 * n**3 / mm_step / 1e12
-            break
+    # Best (smallest plausible) step over several attempts: the chip is
+    # contended, so single readings understate capability; sub-peak-time
+    # readings are measurement glitches and are discarded.
+    steps = [
+        marginal_step_time(lambda s: mm_chain(steps=s), 64, 512, trials=6)
+        for _ in range(3)
+    ]
+    plausible = [s for s in steps if s >= 0.9 * mxu_peak_step]
+    tflops = 2 * n**3 / min(plausible) / 1e12 if plausible else float("nan")
     tflops_ok = tflops == tflops  # not NaN
 
     print(

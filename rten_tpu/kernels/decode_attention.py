@@ -112,38 +112,40 @@ def _decode_attn_kernel(
         # (sublane-aligned) window holding position ``length``'s 128-lane
         # row. Valid lanes are written back unchanged, and the main loop
         # masks cols ≥ length, so any interleaving with this write is
-        # harmless.
+        # harmless. DMA choreography: both reads start immediately (they
+        # overlap each other and the block-0 warmup), writes start as soon
+        # as each merge is done, and write COMPLETION is only awaited at
+        # kernel exit — four serialized round-trip latencies (~1-2 µs each,
+        # measured ~6 µs/layer of self-time) collapse to roughly one.
         row = (length * d) // _LANES
         row8 = (row // 8) * 8
         local = row - row8
         sub = jax.lax.rem(length, f)  # which D-lane slot inside the row
 
-        def rmw(src_new_ref, hbm, which):
-            rd = pltpu.make_async_copy(
-                hbm.at[b, :, pl.ds(row8, 8), :],
-                row_buf.at[which],
-                row_sem.at[which],
-            )
-            rd.start()
-            rd.wait()
+        def _row_copy(which, hbm, to_hbm: bool):
+            args = (row_buf.at[which], hbm.at[b, :, pl.ds(row8, 8), :])
+            src, dst = (args if to_hbm else args[::-1])
+            return pltpu.make_async_copy(src, dst, row_sem.at[which])
+
+        _row_copy(0, k_hbm, False).start()
+        _row_copy(1, v_hbm, False).start()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (hk, 8, _LANES), 2)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (hk, 8, _LANES), 1)
+        hit = jnp.logical_and(rows == local, lane // d == sub)
+
+        def _merge(which, src_new_ref):
             old = row_buf[which]  # [Hk, 8, 128]
             new = src_new_ref[0, :, 0:1, :]  # [Hk, 1, D]
             tiled = jnp.concatenate([new] * f, axis=-1) if f > 1 else new
-            lane = jax.lax.broadcasted_iota(jnp.int32, (hk, 8, _LANES), 2)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (hk, 8, _LANES), 1)
-            hit = jnp.logical_and(rows == local, lane // d == sub)
-            merged = jnp.where(hit, tiled.astype(old.dtype), old)
-            row_buf[which] = merged
-            wr = pltpu.make_async_copy(
-                row_buf.at[which],
-                hbm.at[b, :, pl.ds(row8, 8), :],
-                row_sem.at[which],
-            )
-            wr.start()
-            wr.wait()
+            row_buf[which] = jnp.where(hit, tiled.astype(old.dtype), old)
 
-        rmw(kn_ref, k_hbm, 0)
-        rmw(vn_ref, v_hbm, 1)
+        _row_copy(0, k_hbm, False).wait()
+        _merge(0, kn_ref)
+        _row_copy(0, k_hbm, True).start()
+        _row_copy(1, v_hbm, False).wait()
+        _merge(1, vn_ref)
+        _row_copy(1, v_hbm, True).start()
 
     q = q_ref[0].astype(jnp.float32)  # [Hk, Gp, D]
 
@@ -250,6 +252,13 @@ def _decode_attn_kernel(
         if res_ref is not None:
             out = out + res_ref[...].astype(jnp.float32)
         o_ref[...] = out.astype(o_ref.dtype)
+    if kn_ref is not None:
+        # Await the deferred cache-append writes only now — an un-waited DMA
+        # at kernel exit is a hardware fault, but nothing in THIS kernel
+        # reads the written window (cols ≥ length are masked), so the writes
+        # ran concurrently with the whole attention loop.
+        _row_copy(0, k_hbm, True).wait()
+        _row_copy(1, v_hbm, True).wait()
 
 
 def decode_attention_supported(head_dim: int, s_max: int, block_s: int = 256) -> bool:
@@ -566,37 +575,38 @@ def _decode_attn_int8_kernel(
             copy.start()
 
     if kn_ref is not None:
-        # In-kernel int8 cache append: 32-row RMW window (int8 sublane tiles).
+        # In-kernel int8 cache append: 32-row RMW window (int8 sublane
+        # tiles), with the same overlapped choreography as the bf16 kernel —
+        # reads start together, write completion deferred to kernel exit.
         row = (length * d) // _LANES
         row32 = (row // 32) * 32
         local = row - row32
         sub = jax.lax.rem(length, f)
 
-        def rmw(src_new_ref, hbm, which):
-            rd = pltpu.make_async_copy(
-                hbm.at[b, :, pl.ds(row32, 32), :],
-                row_buf.at[which],
-                row_sem.at[which],
-            )
-            rd.start()
-            rd.wait()
+        def _row_copy(which, hbm, to_hbm: bool):
+            args = (row_buf.at[which], hbm.at[b, :, pl.ds(row32, 32), :])
+            src, dst = (args if to_hbm else args[::-1])
+            return pltpu.make_async_copy(src, dst, row_sem.at[which])
+
+        _row_copy(0, k_hbm, False).start()
+        _row_copy(1, v_hbm, False).start()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (hk, 32, _LANES), 2)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (hk, 32, _LANES), 1)
+        hit = jnp.logical_and(rows == local, lane // d == sub)
+
+        def _merge(which, src_new_ref):
             old = row_buf[which]  # [Hk, 32, 128]
             new = src_new_ref[0, :, 0:1, :]  # [Hk, 1, D]
             tiled = jnp.concatenate([new] * f, axis=-1) if f > 1 else new
-            lane = jax.lax.broadcasted_iota(jnp.int32, (hk, 32, _LANES), 2)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (hk, 32, _LANES), 1)
-            hit = jnp.logical_and(rows == local, lane // d == sub)
             row_buf[which] = jnp.where(hit, tiled.astype(old.dtype), old)
-            wr = pltpu.make_async_copy(
-                row_buf.at[which],
-                hbm.at[b, :, pl.ds(row32, 32), :],
-                row_sem.at[which],
-            )
-            wr.start()
-            wr.wait()
 
-        rmw(kn_ref, k_hbm, 0)
-        rmw(vn_ref, v_hbm, 1)
+        _row_copy(0, k_hbm, False).wait()
+        _merge(0, kn_ref)
+        _row_copy(0, k_hbm, True).start()
+        _row_copy(1, v_hbm, False).wait()
+        _merge(1, vn_ref)
+        _row_copy(1, v_hbm, True).start()
 
     q = q_ref[0].astype(jnp.float32)  # [Hk, Gp, D]
 
@@ -677,6 +687,9 @@ def _decode_attn_int8_kernel(
     m_fin, l_fin, acc = jax.lax.fori_loop(0, n_blocks, body, init)
     l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
     o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+    if kn_ref is not None:
+        _row_copy(0, k_hbm, True).wait()
+        _row_copy(1, v_hbm, True).wait()
 
 
 def pack_kv_scales(scales, head_dim: int):

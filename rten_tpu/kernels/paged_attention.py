@@ -80,7 +80,10 @@ def _paged_attn_kernel(
         vc0.start()
 
     if kn_ref is not None:
-        # Append into the page holding position ``length``.
+        # Append into the page holding position ``length``. Same overlapped
+        # RMW choreography as decode_attention: reads start together, write
+        # completion is deferred to kernel exit (the written row is masked
+        # for this kernel's own reads).
         page = pt_ref[b * max_pages + length // page_size]
         inpage = jax.lax.rem(length, page_size)
         row = (inpage * d) // _LANES
@@ -88,31 +91,30 @@ def _paged_attn_kernel(
         local = row - row8
         sub = jax.lax.rem(inpage, f)
 
-        def rmw(src_new_ref, hbm, which):
-            rd = pltpu.make_async_copy(
-                hbm.at[:, page, pl.ds(row8, 8), :],
-                row_buf.at[which],
-                row_sem.at[which],
-            )
-            rd.start()
-            rd.wait()
+        def _row_copy(which, hbm, to_hbm: bool):
+            args = (row_buf.at[which], hbm.at[:, page, pl.ds(row8, 8), :])
+            src, dst = (args if to_hbm else args[::-1])
+            return pltpu.make_async_copy(src, dst, row_sem.at[which])
+
+        _row_copy(0, k_hbm, False).start()
+        _row_copy(1, v_hbm, False).start()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (hk, 8, _LANES), 2)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (hk, 8, _LANES), 1)
+        hit = jnp.logical_and(rows == local, lane // d == sub)
+
+        def _merge(which, src_new_ref):
             old = row_buf[which]  # [Hk, 8, 128]
             new = src_new_ref[0, :, 0:1, :]
             tiled = jnp.concatenate([new] * f, axis=-1) if f > 1 else new
-            lane = jax.lax.broadcasted_iota(jnp.int32, (hk, 8, _LANES), 2)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (hk, 8, _LANES), 1)
-            hit = jnp.logical_and(rows == local, lane // d == sub)
             row_buf[which] = jnp.where(hit, tiled.astype(old.dtype), old)
-            wr = pltpu.make_async_copy(
-                row_buf.at[which],
-                hbm.at[:, page, pl.ds(row8, 8), :],
-                row_sem.at[which],
-            )
-            wr.start()
-            wr.wait()
 
-        rmw(kn_ref, k_hbm, 0)
-        rmw(vn_ref, v_hbm, 1)
+        _row_copy(0, k_hbm, False).wait()
+        _merge(0, kn_ref)
+        _row_copy(0, k_hbm, True).start()
+        _row_copy(1, v_hbm, False).wait()
+        _merge(1, vn_ref)
+        _row_copy(1, v_hbm, True).start()
 
     q = q_ref[0].astype(jnp.float32)
 
@@ -190,6 +192,9 @@ def _paged_attn_kernel(
     m_fin, l_fin, acc = jax.lax.fori_loop(0, n_blocks, body, init)
     l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
     o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+    if kn_ref is not None:
+        _row_copy(0, k_hbm, True).wait()
+        _row_copy(1, v_hbm, True).wait()
 
 
 def paged_attention_supported(head_dim: int, page_size: int) -> bool:
