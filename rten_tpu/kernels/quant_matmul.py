@@ -335,6 +335,19 @@ def quant_matmul_int8(
     return out[:m, :n]
 
 
+def _norm_rows(x, kind, eps, scale_ref, bias_ref):
+    if kind == "rmsnorm":
+        x = x * jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + eps)
+    else:
+        mean = jnp.mean(x, -1, keepdims=True)
+        xc = x - mean
+        x = xc * jax.lax.rsqrt(jnp.mean(xc * xc, -1, keepdims=True) + eps)
+    x = x * scale_ref[...].astype(jnp.float32)
+    if bias_ref is not None:
+        x = x + bias_ref[...].astype(jnp.float32)
+    return x
+
+
 def _mlp_kernel(
     x_ref,  # [M, D]
     wu_ref,  # [D, FF] int8 (whole matrix in VMEM)
@@ -346,7 +359,13 @@ def _mlp_kernel(
     ns_ref,  # [1, D] norm scale or None
     nb_ref,  # [1, D] norm bias or None
     r_ref,  # [M, D] residual or None
+    wq_ref,  # [D, Nq] int8 — NEXT layer's fused qkv projection, or None
+    sq_ref,  # [1, Nq]
+    bq_ref,  # [1, Nq] or None
+    qns_ref,  # [1, D] next layer's pre-norm scale or None
+    qnb_ref,  # [1, D]
     o_ref,  # [M, D]
+    oq_ref,  # [M, Nq] or None
     *,
     activation,
     norm,
@@ -354,15 +373,7 @@ def _mlp_kernel(
 ):
     x = x_ref[...].astype(jnp.float32)
     if norm is not None:
-        if norm == "rmsnorm":
-            x = x * jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + norm_eps)
-        else:
-            mean = jnp.mean(x, -1, keepdims=True)
-            xc = x - mean
-            x = xc * jax.lax.rsqrt(jnp.mean(xc * xc, -1, keepdims=True) + norm_eps)
-        x = x * ns_ref[...].astype(jnp.float32)
-        if nb_ref is not None:
-            x = x + nb_ref[...].astype(jnp.float32)
+        x = _norm_rows(x, norm, norm_eps, ns_ref, nb_ref)
     up = jnp.dot(
         x, wu_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32
     ) * su_ref[...]
@@ -377,14 +388,26 @@ def _mlp_kernel(
     if r_ref is not None:
         down = down + r_ref[...].astype(jnp.float32)
     o_ref[...] = down.astype(o_ref.dtype)
+    if wq_ref is not None:
+        # The NEXT transformer layer's pre-norm + fused qkv projection rides
+        # in the same kernel: the block output never leaves VMEM before its
+        # qkv is computed, and a whole kernel launch + weight-staging round
+        # drops out of the per-layer decode path.
+        xq = _norm_rows(down, norm, norm_eps, qns_ref, qnb_ref)
+        qkv = jnp.dot(
+            xq, wq_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32
+        ) * sq_ref[...]
+        if bq_ref is not None:
+            qkv = qkv + bq_ref[...].astype(jnp.float32)
+        oq_ref[...] = qkv.astype(oq_ref.dtype)
 
 
 # Whole-matrix VMEM budget for the fused MLP (both weight matrices resident).
 MLP_FUSED_VMEM_LIMIT = 8 << 20
 
 
-def mlp_fused_supported(d: int, ff: int) -> bool:
-    return d * ff * 2 <= MLP_FUSED_VMEM_LIMIT
+def mlp_fused_supported(d: int, ff: int, n_qkv: int = 0) -> bool:
+    return d * ff * 2 + d * n_qkv <= MLP_FUSED_VMEM_LIMIT
 
 
 @functools.partial(
@@ -406,6 +429,8 @@ def quant_mlp_int8(
     norm_bias=None,
     norm_eps: float = 1e-5,
     residual=None,
+    next_qkv=None,  # (w_qkv int8 [D, Nq], scales [Nq], bias [Nq]|None,
+    #                 next_norm_scale [D], next_norm_bias [D]|None)
     out_dtype=None,
     interpret: bool = False,
 ):
@@ -415,10 +440,15 @@ def quant_mlp_int8(
 
     Both int8 weight matrices live in VMEM for the kernel's duration (gate
     with mlp_fused_supported); the FF-wide intermediate never touches HBM
-    and two kernel launches + their staging fusions collapse into one."""
+    and two kernel launches + their staging fusions collapse into one.
+
+    With ``next_qkv`` the kernel ALSO returns the next layer's fused qkv
+    projection of the block output (pre-norm included) — returns
+    (out, qkv)."""
     m, d = x.shape
     ff = w_up_q.shape[1]
     assert m <= 8 and w_up_q.shape == (d, ff) and w_down_q.shape == (ff, d)
+    assert next_qkv is None or norm is not None, "next_qkv requires fused norms"
     out_dtype = out_dtype or x.dtype
 
     in_specs = [
@@ -444,25 +474,58 @@ def quant_mlp_int8(
         args.append(residual)
         in_specs.append(pl.BlockSpec((m, d), lambda: (0, 0)))
         have.append("r_ref")
+    n_q = 0
+    if next_qkv is not None:
+        w_qkv, qkv_scales, qkv_bias, nns, nnb = next_qkv
+        n_q = w_qkv.shape[1]
+        assert w_qkv.shape == (d, n_q)
+        args.append(w_qkv)
+        in_specs.append(pl.BlockSpec((d, n_q), lambda: (0, 0)))
+        have.append("wq_ref")
+        args.append(qkv_scales.reshape(1, -1))
+        in_specs.append(pl.BlockSpec((1, n_q), lambda: (0, 0)))
+        have.append("sq_ref")
+        if qkv_bias is not None:
+            args.append(qkv_bias.reshape(1, -1))
+            in_specs.append(pl.BlockSpec((1, n_q), lambda: (0, 0)))
+            have.append("bq_ref")
+        args.append(nns.reshape(1, -1))
+        in_specs.append(pl.BlockSpec((1, d), lambda: (0, 0)))
+        have.append("qns_ref")
+        if nnb is not None:
+            args.append(nnb.reshape(1, -1))
+            in_specs.append(pl.BlockSpec((1, d), lambda: (0, 0)))
+            have.append("qnb_ref")
+
+    n_outs = 2 if next_qkv is not None else 1
 
     def kernel(x_ref, wu_ref, su_ref, wd_ref, sd_ref, *rest):
-        opt = dict(zip(have, rest[:-1]))
+        opt = dict(zip(have, rest[:-n_outs]))
+        outs = rest[-n_outs:]
         _mlp_kernel(
             x_ref, wu_ref, su_ref, wd_ref, sd_ref,
             opt.get("bu_ref"), opt.get("bd_ref"),
             opt.get("ns_ref"), opt.get("nb_ref"), opt.get("r_ref"),
-            rest[-1],
+            opt.get("wq_ref"), opt.get("sq_ref"), opt.get("bq_ref"),
+            opt.get("qns_ref"), opt.get("qnb_ref"),
+            outs[0], outs[1] if n_outs == 2 else None,
             activation=activation, norm=norm, norm_eps=norm_eps,
         )
 
+    out_shape = jax.ShapeDtypeStruct((m, d), out_dtype)
+    out_specs = pl.BlockSpec((m, d), lambda: (0, 0))
+    if next_qkv is not None:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((m, n_q), out_dtype))
+        out_specs = (out_specs, pl.BlockSpec((m, n_q), lambda: (0, 0)))
+
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((m, d), out_dtype),
+        out_shape=out_shape,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((m, d), lambda: (0, 0)),
+        out_specs=out_specs,
         cost_estimate=pl.CostEstimate(
-            flops=4 * m * d * ff,
-            bytes_accessed=2 * d * ff,
+            flops=4 * m * d * ff + 2 * m * d * n_q,
+            bytes_accessed=2 * d * ff + d * n_q,
             transcendentals=m * ff,
         ),
         interpret=interpret,

@@ -423,10 +423,23 @@ def forward(
     new_v_layers = []
     new_ks_layers = []
     new_vs_layers = []
+    qkv_pending = None  # produced by the previous layer's fused MLP kernel
     for li, layer in enumerate(params["layers"]):
         resid = x
         xn = None if fuse else _norm(x, layer["ln1"], cfg)
-        if "wqkv" in layer:
+        if qkv_pending is not None:
+            # This layer's qkv was already computed inside the PREVIOUS
+            # layer's MLP kernel (pre-norm included) — one fewer kernel
+            # launch per layer on the decode path.
+            qkv_dim = (h + 2 * hk) * hd
+            qkv = qkv_pending.reshape(b, t, -1)[..., :qkv_dim]
+            qkv_pending = None
+            q, k, v = (
+                qkv[..., : h * hd],
+                qkv[..., h * hd : (h + hk) * hd],
+                qkv[..., (h + hk) * hd :],
+            )
+        elif "wqkv" in layer:
             qkv_dim = (h + 2 * hk) * hd
             qkv = _fproj(
                 x, layer["wqkv"], layer.get("bqkv"), norm_p=layer["ln1"], out_dim=qkv_dim
@@ -652,7 +665,29 @@ def forward(
             if mlp_one_kernel:
                 # Whole MLP (pre-norm → up → GELU → down → +residual) as ONE
                 # kernel: both int8 matrices resident in VMEM, the FF-wide
-                # intermediate never touches HBM.
+                # intermediate never touches HBM. When the NEXT layer's qkv
+                # projection fits alongside, it fuses in too and this loop's
+                # next iteration starts from qkv_pending.
+                nxt = (
+                    params["layers"][li + 1]
+                    if li + 1 < len(params["layers"])
+                    else None
+                )
+                qkv_dim = (h + 2 * hk) * hd
+                next_qkv = None
+                if (
+                    nxt is not None
+                    and isinstance(nxt.get("wqkv"), dict)
+                    and nxt["wqkv"]["q"].shape == (cfg.d_model, qkv_dim)
+                    and mlp_fused_supported(cfg.d_model, cfg.d_ff, qkv_dim)
+                ):
+                    next_qkv = (
+                        nxt["wqkv"]["q"],
+                        nxt["wqkv"]["s"],
+                        nxt.get("bqkv"),
+                        nxt["ln1"]["scale"],
+                        nxt["ln1"].get("bias"),
+                    )
                 x2 = x.reshape(m_rows, cfg.d_model)
                 out = quant_mlp_int8(
                     x2,
@@ -668,8 +703,11 @@ def forward(
                     norm_bias=layer["ln2"].get("bias"),
                     norm_eps=cfg.layer_norm_eps,
                     residual=resid.reshape(m_rows, cfg.d_model),
+                    next_qkv=next_qkv,
                     out_dtype=x.dtype,
                 )
+                if next_qkv is not None:
+                    out, qkv_pending = out
                 x = out.reshape(*x.shape)
                 continue
             # Pre-norm + GELU both fuse into the up-projection kernel.

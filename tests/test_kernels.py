@@ -142,6 +142,57 @@ def test_quant_gemv_matches_dequant(rng):
     np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=5e-2, atol=5e-2)
 
 
+def test_quant_mlp_fused_with_next_qkv(rng):
+    """The whole-MLP decode kernel, including the fused NEXT-layer qkv
+    projection (pre-norm → up → GELU → down → +residual, then next pre-norm
+    → qkv), vs plain-numpy reference math."""
+    from rten_tpu.kernels.quant_matmul import quant_mlp_int8, quantize_weights_int8
+
+    d, ff, nq = 128, 256, 384
+    wu = rng.standard_normal((d, ff)).astype(np.float32) * 0.2
+    wd = rng.standard_normal((ff, d)).astype(np.float32) * 0.2
+    wq = rng.standard_normal((d, nq)).astype(np.float32) * 0.2
+    qu, su = quantize_weights_int8(wu)
+    qd_, sd_ = quantize_weights_int8(wd)
+    qq, sq = quantize_weights_int8(wq)
+    bu = rng.standard_normal(ff).astype(np.float32) * 0.1
+    bd = rng.standard_normal(d).astype(np.float32) * 0.1
+    bq = rng.standard_normal(nq).astype(np.float32) * 0.1
+    ns = rng.uniform(0.5, 1.5, d).astype(np.float32)
+    nb = rng.standard_normal(d).astype(np.float32) * 0.1
+    qns = rng.uniform(0.5, 1.5, d).astype(np.float32)
+    qnb = rng.standard_normal(d).astype(np.float32) * 0.1
+    x = rng.standard_normal((1, d)).astype(np.float32)
+    resid = rng.standard_normal((1, d)).astype(np.float32)
+
+    out, qkv = quant_mlp_int8(
+        jnp.asarray(x), jnp.asarray(qu), jnp.asarray(su),
+        jnp.asarray(qd_), jnp.asarray(sd_),
+        jnp.asarray(bu), jnp.asarray(bd),
+        activation="gelu", norm="layernorm",
+        norm_scale=jnp.asarray(ns), norm_bias=jnp.asarray(nb),
+        residual=jnp.asarray(resid),
+        next_qkv=(jnp.asarray(qq), jnp.asarray(sq), jnp.asarray(bq),
+                  jnp.asarray(qns), jnp.asarray(qnb)),
+        interpret=True,
+    )
+
+    def ln(v, s, b):
+        mu, var = v.mean(-1, keepdims=True), v.var(-1, keepdims=True)
+        return (v - mu) / np.sqrt(var + 1e-5) * s + b
+
+    def gelu(v):
+        from math import erf
+        return 0.5 * v * (1 + np.vectorize(erf)(v / np.sqrt(2)))
+
+    xn = ln(x, ns, nb)
+    up = gelu(xn @ (qu.astype(np.float32) * su) + bu)
+    ref_out = up @ (qd_.astype(np.float32) * sd_) + bd + resid
+    ref_qkv = ln(ref_out, qns, qnb) @ (qq.astype(np.float32) * sq) + bq
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref_out, rtol=5e-2, atol=8e-2)
+    np.testing.assert_allclose(np.asarray(qkv, np.float32), ref_qkv, rtol=5e-2, atol=1.5e-1)
+
+
 def test_quant_gemv_fused_norm_bias_act_residual(rng):
     from rten_tpu.kernels.quant_matmul import quant_gemv_int8, quantize_weights_int8
 
