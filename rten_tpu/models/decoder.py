@@ -135,14 +135,18 @@ def _norm_params(cfg: DecoderConfig, d: int) -> dict:
     return p
 
 
-def quantize_params_int8(params: dict) -> dict:
+def quantize_params_int8(params: dict, *, fuse: bool = True) -> dict:
     """Weight-only INT8: every ≥2-D projection matrix becomes
     {"q": int8, "s": f32 per-out-channel scales} (BASELINE.json INT8 path).
 
     Awkward output dims (vocab) are zero-padded to 128 multiples HERE, once —
     padding inside a traced decode step would copy the whole matrix every
     step. ``_proj`` slices the padded columns back off. Tied embeddings get a
-    dedicated quantized ``lm_head_q`` (the gather table itself stays dense)."""
+    dedicated quantized ``lm_head_q`` (the gather table itself stays dense).
+
+    ``fuse=False`` skips the qkv / gate|up concatenation — required for
+    explicit tensor parallelism (parallel/tp.py), where the concatenated N
+    layout would interleave q|k|v across column shards."""
 
     def q(leaf):
         if isinstance(leaf, dict):
@@ -178,6 +182,9 @@ def quantize_params_int8(params: dict) -> dict:
         # decode hot loop reads int8 (the bf16 tied matrix would otherwise be
         # half of all per-token HBM traffic).
         out["lm_head_q"] = q(np.asarray(params["tok_emb"], np.float32).T)
+
+    if not fuse:
+        return out
 
     # Fuse the Q/K/V projections into one kernel launch per layer (and
     # gate|up for SwiGLU) — at decode batch sizes per-kernel overhead beats

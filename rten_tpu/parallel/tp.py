@@ -1,0 +1,309 @@
+"""Explicit shard_map tensor parallelism for the native decoder.
+
+``shard_decoder_params`` + pjit (parallel/mesh.py) lets XLA choose where to
+insert collectives; this module is the EXPLICIT path (the scaling-book
+recipe for squeezing the last collectives): a shard_map over the
+("data", "model") mesh whose body runs the SAME kernels the single-chip
+path uses — Pallas decode attention / int8 GEMV / fused MLP on TPU, the
+plain jnp fallbacks on CPU — on each device's local shard, with hand-placed
+collectives:
+
+- embedding: vocab-sharded table, masked local gather + psum
+- qkv / FFN-up: column-parallel (local heads / local FF slice, no comm)
+- attention: fully local — KV heads co-located with their query group
+- wo / FFN-down: row-parallel → psum (or the OVERLAPPED ring
+  matmul_reducescatter+all-gather from parallel/overlap.py when
+  ``overlap=True`` — VERDICT/SURVEY "reduce-scatter matmuls via shard_map,
+  not just pjit defaults")
+- lm head: column-parallel over vocab → tiled all_gather of logits
+
+The reference has no distributed execution at all (SURVEY.md §2.4); this is
+the TPU-native replacement for scaling BASELINE config 5 (Llama-class INT8
+over N hosts).
+
+Layer weights must be UNFUSED (wq/wk/wv separate): the decode-fused wqkv
+concat interleaves q|k|v along N, which breaks head-contiguous column
+sharding. quantize_params_int8(..., fuse=False) produces TP-ready packs.
+"""
+
+from __future__ import annotations
+
+
+import functools
+
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rten_tpu.kernels import dispatch
+from rten_tpu.kernels.attention import attention_reference, flash_attention
+from rten_tpu.models import decoder as D
+
+
+def _dense(w):
+    if isinstance(w, dict):
+        return w["q"].astype(jnp.float32) * w["s"].astype(jnp.float32)
+    return w
+
+
+def _col_proj(x, w, b=None):
+    """Column-parallel projection: local output slice, no communication."""
+    if isinstance(w, dict) and dispatch.on_tpu():
+        from rten_tpu.kernels.quant_matmul import quant_matmul_int8
+
+        out = quant_matmul_int8(x.reshape(-1, x.shape[-1]), w["q"], w["s"])
+        out = out.reshape(*x.shape[:-1], -1)
+    else:
+        out = dispatch.matmul(x, _dense(w).astype(x.dtype))
+    if b is not None:
+        out = out + b
+    return out
+
+
+def _row_proj(x, w, axis: str, *, overlap: bool = False):
+    """Row-parallel projection: local partial matmul + all-reduce over
+    ``axis``. With ``overlap`` the reduction rides the explicit ring
+    (matmul_reducescatter + tiled all-gather) instead of one psum."""
+    shape = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if overlap and not isinstance(w, dict):
+        from rten_tpu.parallel.overlap import matmul_allreduce
+
+        out = matmul_allreduce(x2, _dense(w).astype(x2.dtype), axis)
+        return out.reshape(*shape, -1)
+    if isinstance(w, dict) and dispatch.on_tpu():
+        from rten_tpu.kernels.quant_matmul import quant_matmul_int8
+
+        part = quant_matmul_int8(x2, w["q"], w["s"])
+    else:
+        part = dispatch.matmul(x2, _dense(w).astype(x2.dtype))
+    return jax.lax.psum(part, axis).reshape(*shape, -1)
+
+
+def _embed(params, cfg, tokens, axis: str):
+    """Vocab-sharded embedding: masked local gather + psum
+    (the Megatron parallel-embedding trick)."""
+    table = params["tok_emb"]  # local [V/m, Dm]
+    v_local = table.shape[0]
+    lo = jax.lax.axis_index(axis) * v_local
+    local_ids = jnp.clip(tokens - lo, 0, v_local - 1)
+    emb = jnp.take(table, local_ids, axis=0)
+    mask = ((tokens >= lo) & (tokens < lo + v_local))[..., None]
+    return jax.lax.psum(jnp.where(mask, emb, 0), axis)
+
+
+def tp_forward(
+    params: dict,
+    cfg: D.DecoderConfig,
+    tokens: jax.Array,  # local [B/d, T]
+    cache: dict | None,
+    *,
+    axis: str = "model",
+    use_flash: bool | None = None,
+    overlap: bool = False,
+    interpret_kernels: bool = False,
+) -> tuple[jax.Array, dict | None]:
+    """Shard_map BODY: one decoder forward over local shards. All activations
+    are replicated along ``axis`` except head/FF-local intermediates; every
+    cross-shard reduction is explicit. Mirrors decoder.forward semantics
+    exactly (same kernels, same cache layout, per-shard)."""
+    m = jax.lax.psum(1, axis)
+    b, t = tokens.shape
+    assert cfg.n_heads % m == 0 and cfg.kv_heads % m == 0, (
+        f"heads must divide the model axis: {cfg.n_heads}/{cfg.kv_heads} over {m}"
+    )
+    # Local head counts; head_dim is a GLOBAL property (d_model / n_heads) —
+    # deriving it from a heads-divided config would inflate it by m.
+    h, hk, hd = cfg.n_heads // m, cfg.kv_heads // m, cfg.head_dim
+    if use_flash is None:
+        use_flash = dispatch.on_tpu()
+
+    x = _embed(params, cfg, tokens, axis)
+    if cache is not None:
+        start = cache["len"]
+        positions = start[:, None] + jnp.arange(t)[None, :]
+    else:
+        positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+    if cfg.pos_encoding == "learned":
+        x = x + jnp.take(params["pos_emb"], positions, axis=0)
+    x = x.astype(cfg.dtype)
+
+    new_k, new_v = [], []
+    for li, layer in enumerate(params["layers"]):
+        resid = x
+        xn = D._norm(x, layer["ln1"], cfg)
+        q = _col_proj(xn, layer["wq"], layer.get("bq"))
+        k = _col_proj(xn, layer["wk"], layer.get("bk"))
+        v = _col_proj(xn, layer["wv"], layer.get("bv"))
+        q = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, hk, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, hk, hd).transpose(0, 2, 1, 3)
+        if cfg.pos_encoding == "rope":
+            q = D._rope(q, positions, cfg.rope_theta)
+            k = D._rope(k, positions, cfg.rope_theta)
+
+        from rten_tpu.kernels.decode_attention import (
+            decode_attention,
+            decode_attention_supported,
+        )
+
+        s_max = D.cache_seq_len(cache["k"][li], hd) if cache is not None else 0
+        run_pallas = (use_flash or interpret_kernels) and cache is not None
+        if (
+            run_pallas
+            and t == 1
+            and decode_attention_supported(hd, s_max)
+        ):
+            # The SAME Pallas decode kernel as single-chip, on the local
+            # head shard (in-kernel cache append, aliased buffers).
+            attn, k_c, v_c = decode_attention(
+                q,
+                cache["k"][li],
+                cache["v"][li],
+                start,
+                k,
+                v,
+                interpret=interpret_kernels and not dispatch.on_tpu(),
+            )
+            new_k.append(k_c)
+            new_v.append(v_c)
+        elif cache is not None:
+            k_c = D._update_cache(D._unfold(cache["k"][li], hd), k, start)
+            v_c = D._update_cache(D._unfold(cache["v"][li], hd), v, start)
+            new_k.append(D._fold_like(k_c, cache["k"][li]))
+            new_v.append(D._fold_like(v_c, cache["v"][li]))
+            kv_len = start + t
+            attn_fn = flash_attention if use_flash else attention_reference
+            attn = attn_fn(q, k_c, v_c, causal=True, q_offset=start, kv_len=kv_len)
+        else:
+            kv_len = jnp.full((b,), t, jnp.int32)
+            attn_fn = flash_attention if use_flash else attention_reference
+            attn = attn_fn(
+                q, k, v, causal=True,
+                q_offset=jnp.zeros((b,), jnp.int32), kv_len=kv_len,
+            )
+
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+        # Row-parallel output projection; bias/residual AFTER the reduction
+        # (the fused-in-kernel epilogue would add them once per shard).
+        x = _row_proj(attn, layer["wo"], axis, overlap=overlap)
+        if layer.get("bo") is not None:
+            x = x + layer["bo"]
+        x = (x + resid).astype(cfg.dtype)
+
+        resid = x
+        xn = D._norm(x, layer["ln2"], cfg)
+        if cfg.activation == "swiglu":
+            gate = _col_proj(xn, layer["w_gate"])
+            up = _col_proj(xn, layer["w_up"])
+            ff = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+        else:
+            ff = _col_proj(xn, layer["w_up"], layer.get("b_up"))
+            ff = jax.nn.gelu(ff.astype(jnp.float32), approximate=False).astype(
+                x.dtype
+            )
+        x = _row_proj(ff, layer["w_down"], axis, overlap=overlap)
+        if layer.get("b_down") is not None:
+            x = x + layer["b_down"]
+        x = (x + resid).astype(cfg.dtype)
+
+    xn = D._norm(x, params["final_norm"], cfg)
+    if "lm_head" in params:
+        logits_local = _col_proj(xn, params["lm_head"])
+    elif "lm_head_q" in params:
+        logits_local = _col_proj(xn, params["lm_head_q"])
+    else:  # tied embeddings: tok_emb is vocab-row sharded → local slice
+        logits_local = dispatch.matmul(xn, _dense(params["tok_emb"]).astype(xn.dtype).T)
+    logits = jax.lax.all_gather(logits_local, axis, axis=-1, tiled=True)
+    logits = logits[..., : cfg.vocab_size].astype(jnp.float32)
+
+    if cache is not None:
+        return logits, {"k": new_k, "v": new_v, "len": cache["len"] + t}
+    return logits, None
+
+
+def _specs(cfg: D.DecoderConfig, params, cache):
+    from rten_tpu.parallel.mesh import cache_specs, decoder_param_specs
+
+    pspec = decoder_param_specs(params)
+    cspec = _tp_cache_specs(cache)
+    return pspec, cspec
+
+
+def _tp_cache_specs(cache):
+    kv = P("data", "model", None, None)
+    n = len(cache["k"])
+    return {"k": [kv] * n, "v": [kv] * n, "len": P("data")}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "use_flash", "overlap", "interpret_kernels"),
+    donate_argnums=(3,),
+)
+def tp_decode_step(
+    params,
+    cfg: D.DecoderConfig,
+    tokens,  # global [B, 1]
+    cache,
+    *,
+    mesh: Mesh,
+    use_flash: bool | None = None,
+    overlap: bool = False,
+    interpret_kernels: bool = False,
+):
+    """One decode step with the whole layer loop under shard_map — the
+    explicit-TP equivalent of decoder.decode_step."""
+    pspec, cspec = _specs(cfg, params, cache)
+
+    body = functools.partial(
+        tp_forward,
+        axis="model",
+        use_flash=use_flash,
+        overlap=overlap,
+        interpret_kernels=interpret_kernels,
+    )
+
+    fn = jax.shard_map(
+        lambda p, t, c: body(p, cfg, t, c),
+        mesh=mesh,
+        in_specs=(pspec, P("data", None), cspec),
+        out_specs=(P("data", None, None), cspec),
+        check_vma=False,
+    )
+    return fn(params, tokens, cache)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "use_flash", "overlap", "interpret_kernels"),
+    donate_argnums=(3,),
+)
+def tp_prefill(
+    params,
+    cfg: D.DecoderConfig,
+    tokens,
+    cache,
+    *,
+    mesh: Mesh,
+    use_flash: bool | None = None,
+    overlap: bool = False,
+    interpret_kernels: bool = False,
+):
+    pspec, cspec = _specs(cfg, params, cache)
+    body = functools.partial(
+        tp_forward,
+        axis="model",
+        use_flash=use_flash,
+        overlap=overlap,
+        interpret_kernels=interpret_kernels,
+    )
+    fn = jax.shard_map(
+        lambda p, t, c: body(p, cfg, t, c),
+        mesh=mesh,
+        in_specs=(pspec, P("data", None), cspec),
+        out_specs=(P("data", None, None), cspec),
+        check_vma=False,
+    )
+    return fn(params, tokens, cache)

@@ -81,12 +81,23 @@ class ServingEngine:
         sampler: Sampler | None = None,
         seed: int = 0,
         mesh=None,
+        tp_mode: str = "pjit",
     ) -> None:
         """``mesh``: a ("data", "model") jax.sharding.Mesh — weights get the
         Megatron tensor-parallel layout and the KV cache shards batch×heads
-        (rten_tpu.parallel.mesh). The engine code path is identical; pjit
-        propagates shardings through prefill/decode (BASELINE config 5:
-        Llama-class INT8 with continuous batching over N≥2 hosts)."""
+        (rten_tpu.parallel.mesh). With ``tp_mode="pjit"`` (default) the
+        engine code path is identical and pjit propagates shardings through
+        prefill/decode; ``tp_mode="shard_map"`` runs the decode step through
+        the EXPLICIT tensor-parallel path (parallel/tp.py: shard_map body
+        with per-shard Pallas kernels and overlapped ring collectives —
+        BASELINE config 5: Llama-class INT8 with continuous batching over
+        N≥2 hosts). shard_map mode needs UNFUSED projections
+        (quantize_params_int8(..., fuse=False))."""
+        if tp_mode not in ("pjit", "shard_map"):
+            raise ValueError(f"unknown tp_mode {tp_mode!r}")
+        if tp_mode == "shard_map" and mesh is None:
+            raise ValueError("tp_mode='shard_map' requires a mesh")
+        self.tp_mode = tp_mode
         if mesh is not None:
             from rten_tpu.parallel import shard_decoder_params
 
@@ -146,9 +157,17 @@ class ServingEngine:
 
         tokens = jnp.asarray(self._last_tokens[:, None])
         self._rng, sub = jax.random.split(self._rng)
-        logits, self.cache = decoder.decode_step(
-            self.params, self.cfg, tokens, self.cache
-        )
+        if self.tp_mode == "shard_map":
+            from rten_tpu.parallel.tp import tp_decode_step
+
+            logits, self.cache = tp_decode_step(
+                self.params, self.cfg, tokens, self.cache,
+                mesh=self.mesh, overlap=True,
+            )
+        else:
+            logits, self.cache = decoder.decode_step(
+                self.params, self.cfg, tokens, self.cache
+            )
         sampled = np.asarray(self.sampler.sample(sub, logits[:, -1, :]))
         self.steps += 1
         active = jnp.asarray(

@@ -130,6 +130,44 @@ def test_engine_sharded_matches_unsharded():
     assert out == ref_out
 
 
+def test_engine_shard_map_tp_matches_unsharded():
+    """tp_mode="shard_map" routes every decode step through the explicit
+    tensor-parallel path (parallel/tp.py, overlapped ring collectives):
+    same requests, same tokens as the single-device engine."""
+    import jax
+    from rten_tpu.parallel import make_mesh
+
+    cfg = decoder.DecoderConfig(
+        vocab_size=128,
+        n_layers=2,
+        n_heads=4,
+        n_kv_heads=4,
+        d_model=64,
+        d_ff=128,
+        max_seq=64,
+        pos_encoding="rope",
+        norm="rmsnorm",
+        activation="swiglu",
+        tie_embeddings=False,
+    )
+    params = decoder.init_params(jax.random.PRNGKey(0), cfg)
+    prompts = [[1, 2, 3, 4], [9, 8, 7]]
+
+    ref = ServingEngine(params, cfg, max_batch=2, seed=0)
+    for prompt in prompts:
+        ref.submit(Request(prompt=prompt, max_new_tokens=6))
+    ref_out = {tuple(r.prompt): r.output for r in ref.run()}
+
+    mesh = make_mesh(data=2, model=4)
+    eng = ServingEngine(
+        params, cfg, max_batch=2, seed=0, mesh=mesh, tp_mode="shard_map"
+    )
+    for prompt in prompts:
+        eng.submit(Request(prompt=prompt, max_new_tokens=6))
+    out = {tuple(r.prompt): r.output for r in eng.run()}
+    assert out == ref_out
+
+
 def test_paged_engine_matches_slot_engine():
     """Paged KV pool serving produces the same tokens as the slot engine
     (SURVEY.md §7 "paged KV cache" — the vLLM-style allocator)."""
