@@ -356,8 +356,8 @@ def decode_attention(
 
     in_specs = [
         pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     args = [kv_len, qg, kf, vf]
     scratch = [
@@ -411,8 +411,8 @@ def decode_attention(
         )
         out_specs = (
             attn_out_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         )
         # Flattened operand indices include the scalar-prefetch arg:
         # 0=kv_len, 1=q, 2=k cache, 3=v cache → outputs 1, 2.
@@ -786,10 +786,10 @@ def decode_attention_int8(
 
     in_specs = [
         pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     args = [kv_len, qg, kf, vf, k_scales, v_scales]
     scratch = [
@@ -838,8 +838,8 @@ def decode_attention_int8(
         )
         out_specs = (
             pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         )
         aliases = {2: 1, 3: 2}
     else:

@@ -507,20 +507,41 @@ def forward(
         if paged:
             # Paged KV pool (serve/paged.py): pages are non-contiguous; the
             # Pallas kernel gathers them via the page table and appends this
-            # token's k/v in place (interpret mode off-TPU for tests).
-            from rten_tpu.kernels.paged_attention import paged_decode_attention
-
+            # token's k/v in place (interpret mode off-TPU for tests). INT8
+            # pools carry per-(token, head) scale pages alongside.
             assert t == 1, "paged cache supports single-token decode only"
-            attn, kp, vp = paged_decode_attention(
-                q,
-                cache["k_pages"][li],
-                cache["v_pages"][li],
-                cache["page_table"],
-                start,
-                k,
-                v,
-                interpret=not dispatch.on_tpu(),
-            )
+            if "k_scale_pages" in cache:
+                from rten_tpu.kernels.paged_attention import (
+                    paged_decode_attention_int8,
+                )
+
+                attn, kp, vp, ksp, vsp = paged_decode_attention_int8(
+                    q,
+                    cache["k_pages"][li],
+                    cache["v_pages"][li],
+                    cache["k_scale_pages"][li],
+                    cache["v_scale_pages"][li],
+                    cache["page_table"],
+                    start,
+                    k,
+                    v,
+                    interpret=not dispatch.on_tpu(),
+                )
+                new_ks_layers.append(ksp)
+                new_vs_layers.append(vsp)
+            else:
+                from rten_tpu.kernels.paged_attention import paged_decode_attention
+
+                attn, kp, vp = paged_decode_attention(
+                    q,
+                    cache["k_pages"][li],
+                    cache["v_pages"][li],
+                    cache["page_table"],
+                    start,
+                    k,
+                    v,
+                    interpret=not dispatch.on_tpu(),
+                )
             new_k_layers.append(kp)
             new_v_layers.append(vp)
         elif int8_fast:
@@ -752,6 +773,9 @@ def forward(
                 "page_table": cache["page_table"],
                 "len": cache["len"] + t,
             }
+            if new_ks_layers:
+                new_cache["k_scale_pages"] = new_ks_layers
+                new_cache["v_scale_pages"] = new_vs_layers
         else:
             new_cache = {
                 "k": new_k_layers,

@@ -148,6 +148,33 @@ def tp_forward(
             decode_attention_supported,
         )
 
+        paged = cache is not None and "k_pages" in cache
+        if paged:
+            # Paged pool sharded on KV heads over ``axis``: the page-table
+            # indirection is identical on every shard, payload DMAs are
+            # local (model-axis TP for PagedServingEngine(mesh=...)).
+            from rten_tpu.kernels.paged_attention import paged_decode_attention
+
+            attn, kp, vp = paged_decode_attention(
+                q,
+                cache["k_pages"][li],
+                cache["v_pages"][li],
+                cache["page_table"],
+                start,
+                k,
+                v,
+                interpret=interpret_kernels and not dispatch.on_tpu(),
+            )
+            new_k.append(kp)
+            new_v.append(vp)
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+            x = _row_proj(attn, layer["wo"], axis, overlap=overlap)
+            if layer.get("bo") is not None:
+                x = x + layer["bo"]
+            x = (x + resid).astype(cfg.dtype)
+            x = _tp_mlp(x, layer, cfg, axis, overlap)
+            continue
+
         s_max = D.cache_seq_len(cache["k"][li], hd) if cache is not None else 0
         run_pallas = (use_flash or interpret_kernels) and cache is not None
         if (
@@ -191,22 +218,7 @@ def tp_forward(
         if layer.get("bo") is not None:
             x = x + layer["bo"]
         x = (x + resid).astype(cfg.dtype)
-
-        resid = x
-        xn = D._norm(x, layer["ln2"], cfg)
-        if cfg.activation == "swiglu":
-            gate = _col_proj(xn, layer["w_gate"])
-            up = _col_proj(xn, layer["w_up"])
-            ff = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
-        else:
-            ff = _col_proj(xn, layer["w_up"], layer.get("b_up"))
-            ff = jax.nn.gelu(ff.astype(jnp.float32), approximate=False).astype(
-                x.dtype
-            )
-        x = _row_proj(ff, layer["w_down"], axis, overlap=overlap)
-        if layer.get("b_down") is not None:
-            x = x + layer["b_down"]
-        x = (x + resid).astype(cfg.dtype)
+        x = _tp_mlp(x, layer, cfg, axis, overlap)
 
     xn = D._norm(x, params["final_norm"], cfg)
     if "lm_head" in params:
@@ -219,8 +231,31 @@ def tp_forward(
     logits = logits[..., : cfg.vocab_size].astype(jnp.float32)
 
     if cache is not None:
+        if "k_pages" in cache:
+            return logits, {
+                "k_pages": new_k,
+                "v_pages": new_v,
+                "page_table": cache["page_table"],
+                "len": cache["len"] + t,
+            }
         return logits, {"k": new_k, "v": new_v, "len": cache["len"] + t}
     return logits, None
+
+
+def _tp_mlp(x, layer, cfg, axis, overlap):
+    resid = x
+    xn = D._norm(x, layer["ln2"], cfg)
+    if cfg.activation == "swiglu":
+        gate = _col_proj(xn, layer["w_gate"])
+        up = _col_proj(xn, layer["w_up"])
+        ff = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    else:
+        ff = _col_proj(xn, layer["w_up"], layer.get("b_up"))
+        ff = jax.nn.gelu(ff.astype(jnp.float32), approximate=False).astype(x.dtype)
+    x = _row_proj(ff, layer["w_down"], axis, overlap=overlap)
+    if layer.get("b_down") is not None:
+        x = x + layer["b_down"]
+    return (x + resid).astype(cfg.dtype)
 
 
 def _specs(cfg: D.DecoderConfig, params, cache):
@@ -307,3 +342,48 @@ def tp_prefill(
         check_vma=False,
     )
     return fn(params, tokens, cache)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "interpret_kernels"),
+    donate_argnums=(3,),
+)
+def tp_paged_decode(
+    params,
+    cfg: D.DecoderConfig,
+    tokens,  # [B, 1] (replicated — paged TP is model-axis only)
+    pool_state,  # {"k_pages": [...], "v_pages": [...]} sharded on KV heads
+    page_table,
+    lens,
+    *,
+    mesh: Mesh,
+    interpret_kernels: bool = False,
+):
+    """One paged decode step with KV pages sharded on the model axis — the
+    shard_map analog of serve/paged._paged_decode (BASELINE config 4 × 5:
+    paged INT8-capable pool under tensor parallelism). The mesh's data axis
+    must be 1 (a paged batch is scheduled host-side, not sharded)."""
+    assert mesh.shape.get("data", 1) == 1, "paged TP shards the model axis only"
+    from rten_tpu.parallel.mesh import decoder_param_specs
+
+    pspec = decoder_param_specs(params)
+    page_spec = P("model", None, None, None)
+    pool_spec = {k: [page_spec] * len(v) for k, v in pool_state.items()}
+
+    def body(p, t, pool, table, ln):
+        cache = {**pool, "page_table": table, "len": ln}
+        logits, cache = tp_forward(
+            p, cfg, t, cache, axis="model", use_flash=None,
+            interpret_kernels=interpret_kernels,
+        )
+        return logits, {k: cache[k] for k in pool}
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(pspec, P(None, None), pool_spec, P(None, None), P(None)),
+        out_specs=(P(None, None, None), pool_spec),
+        check_vma=False,
+    )
+    return fn(params, tokens, pool_state, page_table, lens)

@@ -238,14 +238,17 @@ class ServingEngine:
         self._last_tokens[slot] = first
 
         # Splice the prefix KV into the slot; only len(prompt) entries valid.
+        # Iterate ALL per-layer cache leaves — int8_kv engines carry
+        # k_scale/v_scale beside k/v, and dropping them would leave the
+        # prefix attending with zero scales.
         slot_arr = jnp.int32(slot)
-        for li in range(self.cfg.n_layers):
-            self.cache["k"][li] = _splice_slot(
-                self.cache["k"][li], tmp_cache["k"][li], slot_arr
-            )
-            self.cache["v"][li] = _splice_slot(
-                self.cache["v"][li], tmp_cache["v"][li], slot_arr
-            )
+        for key, leaves in self.cache.items():
+            if not isinstance(leaves, list):
+                continue
+            for li in range(self.cfg.n_layers):
+                self.cache[key][li] = _splice_slot(
+                    self.cache[key][li], tmp_cache[key][li], slot_arr
+                )
         self.cache["len"] = _set_len(
             self.cache["len"], slot_arr, jnp.int32(len(prompt))
         )

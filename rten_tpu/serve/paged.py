@@ -42,15 +42,27 @@ class PagePool:
         n_pages: int,
         page_size: int = 128,
         dtype=None,
+        int8: bool = False,
     ) -> None:
-        if not paged_attention_supported(cfg.head_dim, page_size):
+        if int8:
+            from rten_tpu.kernels.paged_attention import (
+                paged_attention_int8_supported,
+            )
+
+            if not paged_attention_int8_supported(cfg.head_dim, page_size):
+                raise ValueError(
+                    f"page_size {page_size} unsupported for int8 head_dim "
+                    f"{cfg.head_dim}"
+                )
+        elif not paged_attention_supported(cfg.head_dim, page_size):
             raise ValueError(
                 f"page_size {page_size} unsupported for head_dim {cfg.head_dim}"
             )
         self.cfg = cfg
         self.n_pages = n_pages
         self.page_size = page_size
-        dtype = dtype or cfg.dtype
+        self.int8 = int8
+        dtype = jnp.int8 if int8 else (dtype or cfg.dtype)
         # FOLDED page storage [Hk, P, page·D/128, 128] — 128-lane minor dim
         # keeps XLA on the row-major layout (see models/decoder.init_cache).
         # One extra physical page (index n_pages) is the SCRATCH page:
@@ -61,6 +73,13 @@ class PagePool:
         shape = (cfg.kv_heads, n_pages + 1, rows, 128)
         self.k_pages = [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)]
         self.v_pages = [jnp.zeros(shape, dtype) for _ in range(cfg.n_layers)]
+        if int8:
+            # Per-(token, head) scales in the page-tile layout: token t of a
+            # page at [t % f, t·D/128]; the 128-col minor dim keeps DMA
+            # slices lane-aligned (cols ≥ page·D/128 are padding).
+            sshape = (cfg.kv_heads, n_pages + 1, 8, 128)
+            self.k_scales = [jnp.zeros(sshape, jnp.float32) for _ in range(cfg.n_layers)]
+            self.v_scales = [jnp.zeros(sshape, jnp.float32) for _ in range(cfg.n_layers)]
         self.scratch_page = n_pages
         self.free: deque[int] = deque(range(n_pages))
 
@@ -84,6 +103,21 @@ class PagePool:
         vf = v.reshape(hk, -1, 128)
         self.k_pages[li] = _write_page(self.k_pages[li], jnp.int32(page), kf, 0)
         self.v_pages[li] = _write_page(self.v_pages[li], jnp.int32(page), vf, 0)
+
+    def write_scale_tiles(self, li: int, page: int, ks: jax.Array, vs: jax.Array) -> None:
+        """Write per-(token, head) scale chunks ([Hk, n_tok, 1] f32) into a
+        page's scale tiles (int8 pools; token t at [t % f, t·D/128])."""
+        hk = ks.shape[0]
+        f = 128 // self.cfg.head_dim
+
+        def tile(scales):
+            s = scales.reshape(hk, -1, f).transpose(0, 2, 1)  # [Hk, f, rows]
+            return jnp.pad(
+                s, ((0, 0), (0, 8 - f), (0, 128 - s.shape[-1]))
+            ).astype(jnp.float32)
+
+        self.k_scales[li] = _write_page(self.k_scales[li], jnp.int32(page), tile(ks), 0)
+        self.v_scales[li] = _write_page(self.v_scales[li], jnp.int32(page), tile(vs), 0)
 
 
 import functools  # noqa: E402
@@ -119,11 +153,41 @@ class PagedServingEngine:
         page_size: int = 128,
         sampler: Sampler | None = None,
         seed: int = 0,
+        int8_kv: bool = False,
+        mesh=None,
     ) -> None:
+        """``int8_kv``: INT8 page payloads + per-(token, head) scale pages —
+        halves decode KV traffic (BASELINE config 4 × config 5: INT8-KV with
+        paged continuous batching).
+
+        ``mesh``: a model-axis mesh — the page pool shards on KV heads and
+        every decode step runs the paged Pallas kernel per shard through the
+        explicit TP path (parallel/tp.tp_paged_decode). Requires unfused
+        params; int8_kv under a mesh is not wired yet."""
+        if mesh is not None and int8_kv:
+            raise NotImplementedError("int8_kv paged TP not yet wired")
+        self.mesh = mesh
+        if mesh is not None:
+            from rten_tpu.parallel import shard_decoder_params
+
+            params = shard_decoder_params(params, mesh)
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
-        self.pool = PagePool(cfg, n_pages, page_size)
+        self.int8_kv = int8_kv
+        # Prefill runs with int8_kv semantics so deeper layers see the SAME
+        # quantized-KV attention outputs the contiguous int8 engine produces
+        # (quantize-after-exact-prefill would diverge from layer 2 on).
+        self._prefill_cfg = (
+            dataclasses.replace(cfg, int8_kv=True) if int8_kv else cfg
+        )
+        self.pool = PagePool(cfg, n_pages, page_size, int8=int8_kv)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = NamedSharding(mesh, P("model", None, None, None))
+            self.pool.k_pages = [jax.device_put(p, spec) for p in self.pool.k_pages]
+            self.pool.v_pages = [jax.device_put(p, spec) for p in self.pool.v_pages]
         self.sampler = sampler or ArgMaxSampler()
         self.max_pages_per_seq = 0  # grows with admissions; page table width
         self.seqs: list[_Seq | None] = [None] * max_batch
@@ -199,15 +263,37 @@ class PagedServingEngine:
             table[i, : len(seq.pages)] = seq.pages
             lens[i] = seq.length
 
-        logits, self.pool.k_pages, self.pool.v_pages = _paged_decode(
-            self.params,
-            self.cfg,
-            jnp.asarray(self._last_tokens[:, None]),
-            self.pool.k_pages,
-            self.pool.v_pages,
-            jnp.asarray(table),
-            jnp.asarray(lens),
-        )
+        pool_state = {"k_pages": self.pool.k_pages, "v_pages": self.pool.v_pages}
+        if self.int8_kv:
+            pool_state["k_scale_pages"] = self.pool.k_scales
+            pool_state["v_scale_pages"] = self.pool.v_scales
+        if self.mesh is not None:
+            from rten_tpu.parallel.tp import tp_paged_decode
+
+            logits, pool_state = tp_paged_decode(
+                self.params,
+                self.cfg,
+                jnp.asarray(self._last_tokens[:, None]),
+                pool_state,
+                jnp.asarray(table),
+                jnp.asarray(lens),
+                mesh=self.mesh,
+                interpret_kernels=True,
+            )
+        else:
+            logits, pool_state = _paged_decode(
+                self.params,
+                self.cfg,
+                jnp.asarray(self._last_tokens[:, None]),
+                pool_state,
+                jnp.asarray(table),
+                jnp.asarray(lens),
+            )
+        self.pool.k_pages = pool_state["k_pages"]
+        self.pool.v_pages = pool_state["v_pages"]
+        if self.int8_kv:
+            self.pool.k_scales = pool_state["k_scale_pages"]
+            self.pool.v_scales = pool_state["v_scale_pages"]
         self._rng, sub = jax.random.split(self._rng)
         sampled = np.asarray(self.sampler.sample(sub, logits[:, -1, :]))
         self.steps += 1
@@ -255,9 +341,9 @@ class PagedServingEngine:
             bucket = _bucket(len(prompt))
             padded = np.zeros((1, bucket), np.int32)
             padded[0, : len(prompt)] = prompt
-            tmp = decoder.init_cache(self.cfg, 1, max(bucket, psz))
+            tmp = decoder.init_cache(self._prefill_cfg, 1, max(bucket, psz))
             logits, tmp = decoder.prefill(
-                self.params, self.cfg, jnp.asarray(padded), tmp
+                self.params, self._prefill_cfg, jnp.asarray(padded), tmp
             )
             # The temp cache stores FOLDED [1, Hk, S·D/128, 128] rows
             # (decoder.init_cache) — slice per page in folded-row units, not
@@ -266,6 +352,30 @@ class PagedServingEngine:
             hd = self.cfg.head_dim
             rows_per_page = psz * hd // 128
             for li in range(self.cfg.n_layers):
+                if self.int8_kv:
+                    # The int8 prefill cache already holds quantized payload
+                    # + per-token scales; copy both into the pages verbatim.
+                    from rten_tpu.kernels.decode_attention import unpack_kv_scales
+
+                    kq_rows = tmp["k"][li].reshape(self.cfg.kv_heads, -1, 128)
+                    vq_rows = tmp["v"][li].reshape(self.cfg.kv_heads, -1, 128)
+                    ks_tok = unpack_kv_scales(tmp["k_scale"][li], hd)[0]
+                    vs_tok = unpack_kv_scales(tmp["v_scale"][li], hd)[0]
+                    for blk, page in enumerate(pages):
+                        lo = blk * psz
+                        if lo >= len(prompt):
+                            break
+                        row_lo = blk * rows_per_page
+                        self.pool.write_prefix(
+                            li,
+                            page,
+                            kq_rows[:, row_lo : row_lo + rows_per_page],
+                            vq_rows[:, row_lo : row_lo + rows_per_page],
+                        )
+                        self.pool.write_scale_tiles(
+                            li, page, ks_tok[:, lo : lo + psz], vs_tok[:, lo : lo + psz]
+                        )
+                    continue
                 k_full = tmp["k"][li].reshape(self.cfg.kv_heads, -1, 128)
                 v_full = tmp["v"][li].reshape(self.cfg.kv_heads, -1, 128)
                 for blk, page in enumerate(pages):
@@ -296,15 +406,15 @@ class PagedServingEngine:
         return finished
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3, 4))
-def _paged_decode(params, cfg, tokens, k_pages, v_pages, page_table, lens):
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+def _paged_decode(params, cfg, tokens, pool_state, page_table, lens):
     """One batched decode step over the paged pool: same transformer math as
-    decoder.forward, with paged attention + in-kernel page append."""
-    cache = {
-        "k_pages": k_pages,
-        "v_pages": v_pages,
-        "page_table": page_table,
-        "len": lens,
-    }
+    decoder.forward, with paged attention + in-kernel page append. The pool
+    (payload + int8 scale pages) is donated — in place at the jit boundary."""
+    cache = {**pool_state, "page_table": page_table, "len": lens}
     logits, cache = decoder.forward(params, cfg, tokens, cache)
-    return logits, cache["k_pages"], cache["v_pages"]
+    out = {"k_pages": cache["k_pages"], "v_pages": cache["v_pages"]}
+    if "k_scale_pages" in cache:
+        out["k_scale_pages"] = cache["k_scale_pages"]
+        out["v_scale_pages"] = cache["v_scale_pages"]
+    return logits, out

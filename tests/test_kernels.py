@@ -359,3 +359,111 @@ def test_decode_attention_int8_kv(rng):
     # cache contents dequantize exactly to the reference splice
     k2d = np.asarray(k2).astype(np.float32) * np.asarray(unpack_kv_scales(ks2, d))
     np.testing.assert_allclose(k2d, kd, atol=1e-6)
+
+
+def test_paged_decode_attention_matches_reference(rng):
+    """Pages gathered via a shuffled page table must reproduce contiguous
+    decode attention (interpret mode)."""
+    from rten_tpu.kernels.paged_attention import paged_decode_attention
+
+    b, h, d, psz, npages = 2, 4, 64, 128, 6
+    rows = psz * d // 128
+    kc = rng.standard_normal((b, h, 2 * psz, d)).astype(np.float32) * 0.3
+    vc = rng.standard_normal((b, h, 2 * psz, d)).astype(np.float32)
+    lens = np.array([psz + 17, 40], np.int32)
+    # scatter the two logical pages of each row into a shuffled pool
+    table = np.array([[1, 4], [3, 0]], np.int32)
+    kp = np.zeros((h, npages, rows, 128), np.float32)
+    vp = np.zeros((h, npages, rows, 128), np.float32)
+    for bi in range(b):
+        for blk in range(2):
+            kp[:, table[bi, blk]] = kc[bi, :, blk * psz : (blk + 1) * psz].reshape(h, rows, 128)
+            vp[:, table[bi, blk]] = vc[bi, :, blk * psz : (blk + 1) * psz].reshape(h, rows, 128)
+    q = rng.standard_normal((b, h, 1, d)).astype(np.float32) * 0.3
+    out = paged_decode_attention(
+        jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+        jnp.asarray(table), jnp.asarray(lens), interpret=True,
+    )
+    ref = attention_reference(
+        q, kc, vc, causal=True, q_offset=lens - 1, kv_len=lens
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-3)
+
+
+def test_paged_decode_attention_int8_matches_dequant_reference(rng):
+    """INT8 page pool + per-token/head scales + fused quantized append vs
+    the dequantized contiguous reference."""
+    from rten_tpu.kernels.paged_attention import paged_decode_attention_int8
+
+    b, h, d, psz, npages = 2, 4, 64, 128, 6
+    rows = psz * d // 128
+    f = 128 // d
+    S = 2 * psz
+    kc = rng.standard_normal((b, h, S, d)).astype(np.float32) * 0.5
+    vc = rng.standard_normal((b, h, S, d)).astype(np.float32)
+    lens = np.array([psz + 9, 31], np.int32)
+    table = np.array([[2, 5], [1, 0]], np.int32)
+
+    # per-(token, head) absmax quantization of the prefix
+    absmax = np.abs(kc).max(-1, keepdims=True)
+    ks = np.where(absmax == 0, 1.0, absmax / 127.0).astype(np.float32)
+    kq = np.clip(np.round(kc / ks), -127, 127).astype(np.int8)
+    absmax = np.abs(vc).max(-1, keepdims=True)
+    vs = np.where(absmax == 0, 1.0, absmax / 127.0).astype(np.float32)
+    vq = np.clip(np.round(vc / vs), -127, 127).astype(np.int8)
+
+    kp = np.zeros((h, npages, rows, 128), np.int8)
+    vp = np.zeros((h, npages, rows, 128), np.int8)
+    ksp = np.zeros((h, npages, 8, 128), np.float32)
+    vsp = np.zeros((h, npages, 8, 128), np.float32)
+    for bi in range(b):
+        for blk in range(2):
+            pg = table[bi, blk]
+            kp[:, pg] = kq[bi, :, blk * psz : (blk + 1) * psz].reshape(h, rows, 128)
+            vp[:, pg] = vq[bi, :, blk * psz : (blk + 1) * psz].reshape(h, rows, 128)
+            for t in range(psz):
+                tok = blk * psz + t
+                ksp[:, pg, t % f, (t * d) // 128] = ks[bi, :, tok, 0]
+                vsp[:, pg, t % f, (t * d) // 128] = vs[bi, :, tok, 0]
+
+    q = rng.standard_normal((b, h, 1, d)).astype(np.float32) * 0.3
+    kn = rng.standard_normal((b, h, 1, d)).astype(np.float32) * 0.5
+    vn = rng.standard_normal((b, h, 1, d)).astype(np.float32)
+
+    out, kp2, vp2, ksp2, vsp2 = paged_decode_attention_int8(
+        jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+        jnp.asarray(ksp), jnp.asarray(vsp),
+        jnp.asarray(table), jnp.asarray(lens),
+        jnp.asarray(kn), jnp.asarray(vn), interpret=True,
+    )
+
+    # Reference: dequantized prefix + per-HEAD-quantized new token appended.
+    kc_ref, vc_ref = (kq.astype(np.float32) * ks), (vq.astype(np.float32) * vs)
+    for bi in range(b):
+        am = np.abs(kn[bi]).max(axis=(1, 2))
+        sc = np.where(am == 0, 1.0, am / 127.0)
+        kc_ref[bi, :, lens[bi]] = (
+            np.clip(np.round(kn[bi, :, 0] / sc[:, None]), -127, 127) * sc[:, None]
+        )
+        am = np.abs(vn[bi]).max(axis=(1, 2))
+        sc = np.where(am == 0, 1.0, am / 127.0)
+        vc_ref[bi, :, lens[bi]] = (
+            np.clip(np.round(vn[bi, :, 0] / sc[:, None]), -127, 127) * sc[:, None]
+        )
+    ref = attention_reference(
+        q, kc_ref, vc_ref, causal=True, q_offset=lens, kv_len=lens + 1
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+    # The appended token must be readable back from its page + scale tile.
+    for bi in range(b):
+        pg = table[bi, lens[bi] // psz]
+        t = lens[bi] % psz
+        row = (t * d) // 128
+        stored = np.asarray(kp2)[:, pg, row, (t % f) * d : (t % f) * d + d]
+        scale = np.asarray(ksp2)[:, pg, t % f, row]
+        np.testing.assert_allclose(
+            stored.astype(np.float32) * scale[:, None],
+            kc_ref[bi, :, lens[bi]],
+            rtol=2e-2, atol=2e-2,
+        )

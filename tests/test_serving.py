@@ -278,6 +278,39 @@ def test_paged_preemption_on_pool_exhaustion():
     assert eng.pool.n_free == 3
 
 
+def test_paged_int8_engine_matches_slot_int8_engine():
+    """INT8 page pool (int8 payload + per-token/head scale pages, fused
+    quantized append) vs the slot engine with int8_kv — both use the same
+    per-(token, head) absmax quantization, so tokens must match."""
+    import jax
+    from rten_tpu.serve.paged import PagedServingEngine
+
+    cfg = decoder.DecoderConfig(
+        vocab_size=128, n_layers=2, n_heads=2, d_model=64, d_ff=64, max_seq=512,
+        dtype=np.float32,
+    )
+    cfg8 = decoder.DecoderConfig(
+        vocab_size=128, n_layers=2, n_heads=2, d_model=64, d_ff=64, max_seq=512,
+        int8_kv=True, dtype=np.float32,
+    )
+    params = decoder.init_params(jax.random.PRNGKey(5), cfg)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+
+    ref = ServingEngine(params, cfg8, max_batch=2, max_len=256, seed=0)
+    for p in prompts:
+        ref.submit(Request(prompt=p, max_new_tokens=6))
+    ref_out = {tuple(r.prompt): r.output for r in ref.run()}
+
+    eng = PagedServingEngine(
+        params, cfg, max_batch=2, n_pages=8, page_size=128, seed=0, int8_kv=True
+    )
+    for p in prompts:
+        eng.submit(Request(prompt=p, max_new_tokens=6))
+    out = {tuple(r.prompt): r.output for r in eng.run()}
+    assert out == ref_out
+    assert eng.pool.n_free == eng.pool.n_pages
+
+
 def test_paged_engine_page_pressure():
     """More requests than the pool can hold at once: admission waits for
     freed pages and every request still completes."""
@@ -294,3 +327,33 @@ def test_paged_engine_page_pressure():
     assert len(done) == 5
     assert all(len(r.output) == 4 for r in reqs)
     assert eng.pool.n_free == 4
+
+
+def test_paged_engine_sharded_matches_unsharded():
+    """Paged pool sharded on KV heads over a model-axis mesh, decode via the
+    explicit TP path with the paged Pallas kernel per shard — tokens equal
+    to the single-device paged engine."""
+    import jax
+    from rten_tpu.parallel import make_mesh
+    from rten_tpu.serve.paged import PagedServingEngine
+
+    cfg = decoder.DecoderConfig(
+        vocab_size=128, n_layers=2, n_heads=4, n_kv_heads=4, d_model=64,
+        d_ff=128, max_seq=512, dtype=np.float32,
+    )
+    params = decoder.init_params(jax.random.PRNGKey(6), cfg)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+
+    ref = PagedServingEngine(params, cfg, max_batch=2, n_pages=8, page_size=128, seed=0)
+    for p in prompts:
+        ref.submit(Request(prompt=p, max_new_tokens=6))
+    ref_out = {tuple(r.prompt): r.output for r in ref.run()}
+
+    mesh = make_mesh(data=1, model=4)
+    eng = PagedServingEngine(
+        params, cfg, max_batch=2, n_pages=8, page_size=128, seed=0, mesh=mesh
+    )
+    for p in prompts:
+        eng.submit(Request(prompt=p, max_new_tokens=6))
+    out = {tuple(r.prompt): r.output for r in eng.run()}
+    assert out == ref_out
