@@ -387,3 +387,112 @@ def tp_paged_decode(
         check_vma=False,
     )
     return fn(params, tokens, pool_state, page_table, lens)
+
+
+def _replicated_specs(tree):
+    return jax.tree.map(lambda _: P(), tree)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis"))
+def sp_prefill(
+    params,
+    cfg: D.DecoderConfig,
+    tokens,  # [B, T] with T divisible by the axis size
+    *,
+    mesh: Mesh,
+    axis: str = "model",
+):
+    """Sequence-parallel (context-parallel) prefill: activations sharded on
+    the SEQUENCE dim, weights replicated, attention via the ring kernel
+    (kernels/ring_attention.py — ppermute KV rotation with the online-softmax
+    correction carried across chips). This is the long-context prefill
+    configuration SURVEY.md §5 calls the stretch config: per-chip memory is
+    O(T/p) activations instead of O(T), and the KV transfers are neighbor
+    ppermutes that overlap the matmuls on real ICI.
+
+    Returns (logits [B, T, V], per-layer (k, v) [B, Hk, T, D]) — the K/V are
+    what a decode cache gets seeded with.
+    """
+    from rten_tpu.kernels.ring_attention import ring_attention
+
+    b, t = tokens.shape
+    p = mesh.shape[axis]
+    assert t % p == 0, (t, p)
+
+    def body(prm, tok):
+        idx = jax.lax.axis_index(axis)
+        tloc = tok.shape[1]
+        positions = idx * tloc + jnp.arange(tloc)[None, :]
+        positions = jnp.broadcast_to(positions, (b, tloc))
+
+        x = jnp.take(prm["tok_emb"], tok, axis=0)
+        if cfg.pos_encoding == "learned":
+            x = x + jnp.take(prm["pos_emb"], positions, axis=0)
+        x = x.astype(cfg.dtype)
+
+        h, hk, hd = cfg.n_heads, cfg.kv_heads, cfg.head_dim
+        ks, vs = [], []
+        for layer in prm["layers"]:
+            resid = x
+            xn = D._norm(x, layer["ln1"], cfg)
+            q = _col_proj(xn, layer["wq"], layer.get("bq"))
+            k = _col_proj(xn, layer["wk"], layer.get("bk"))
+            v = _col_proj(xn, layer["wv"], layer.get("bv"))
+            q = q.reshape(b, tloc, h, hd).transpose(0, 2, 1, 3)
+            k = k.reshape(b, tloc, hk, hd).transpose(0, 2, 1, 3)
+            v = v.reshape(b, tloc, hk, hd).transpose(0, 2, 1, 3)
+            if cfg.pos_encoding == "rope":
+                q = D._rope(q, positions, cfg.rope_theta)
+                k = D._rope(k, positions, cfg.rope_theta)
+            if hk != h:  # ring kernel is MHA-shaped: expand GQA groups
+                rep = h // hk
+                k_r = jnp.repeat(k, rep, axis=1)
+                v_r = jnp.repeat(v, rep, axis=1)
+            else:
+                k_r, v_r = k, v
+            attn = ring_attention(q, k_r, v_r, axis, causal=True)
+            ks.append(k)
+            vs.append(v)
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, tloc, h * hd)
+            x = _col_proj(attn, layer["wo"], layer.get("bo")) + resid
+            x = x.astype(cfg.dtype)
+            x = _tp_mlp_local(x, layer, cfg)
+
+        xn = D._norm(x, prm["final_norm"], cfg)
+        if "lm_head" in prm:
+            logits = _col_proj(xn, prm["lm_head"])
+        elif "lm_head_q" in prm:
+            logits = _col_proj(xn, prm["lm_head_q"])
+        else:
+            logits = dispatch.matmul(xn, _dense(prm["tok_emb"]).astype(xn.dtype).T)
+        return logits[..., : cfg.vocab_size].astype(jnp.float32), ks, vs
+
+    pspec = _replicated_specs(params)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(pspec, P(None, axis)),
+        out_specs=(
+            P(None, axis, None),
+            [P(None, None, axis, None)] * cfg.n_layers,
+            [P(None, None, axis, None)] * cfg.n_layers,
+        ),
+        check_vma=False,
+    )
+    return fn(params, tokens)
+
+
+def _tp_mlp_local(x, layer, cfg):
+    """Replicated-weight MLP (sequence-parallel prefill: no cross-shard
+    reduction — every shard owns whole rows)."""
+    resid = x
+    xn = D._norm(x, layer["ln2"], cfg)
+    if cfg.activation == "swiglu":
+        gate = _col_proj(xn, layer["w_gate"])
+        up = _col_proj(xn, layer["w_up"])
+        ff = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    else:
+        ff = _col_proj(xn, layer["w_up"], layer.get("b_up"))
+        ff = jax.nn.gelu(ff.astype(jnp.float32), approximate=False).astype(x.dtype)
+    x = _col_proj(ff, layer["w_down"], layer.get("b_down"))
+    return (x + resid).astype(cfg.dtype)

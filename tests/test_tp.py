@@ -126,3 +126,36 @@ def test_tp_int8_matches_single_chip_int8(rng):
     got = _tp_run(qparams, CFG, prompt, 3, mesh, use_flash=False)
     for a, b in zip(ref, got):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-3)
+
+
+def test_sp_prefill_ring_attention_matches_forward(rng):
+    """Sequence-parallel prefill (ring attention over the mesh axis) must
+    reproduce the single-chip full-causal forward — this is the path that
+    makes kernels/ring_attention.py a served configuration, not shelf-ware."""
+    from rten_tpu.parallel.tp import sp_prefill
+
+    mesh = make_mesh(1, 4)
+    params = decoder.init_params(jax.random.PRNGKey(7), CFG)
+    prompt = jnp.asarray(rng.integers(0, 96, (2, 16)).astype(np.int32))  # T=16 ÷ 4
+
+    ref_logits, _ = decoder.forward(params, CFG, prompt, None, use_flash=False)
+    logits, ks, vs = sp_prefill(params, CFG, prompt, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
+    # The returned K/V seed a decode cache: shapes [B, Hk, T, D].
+    assert len(ks) == CFG.n_layers
+    assert ks[0].shape == (2, CFG.kv_heads, 16, CFG.head_dim)
+
+
+def test_sp_prefill_gpt2_layout(rng):
+    from rten_tpu.parallel.tp import sp_prefill
+
+    mesh = make_mesh(1, 2)
+    params = decoder.init_params(jax.random.PRNGKey(8), GPT2ISH)
+    prompt = jnp.asarray(rng.integers(0, 96, (1, 8)).astype(np.int32))
+    ref_logits, _ = decoder.forward(params, GPT2ISH, prompt, None, use_flash=False)
+    logits, _, _ = sp_prefill(params, GPT2ISH, prompt, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
