@@ -238,9 +238,17 @@ def build_compiled(
     output_ids: Sequence[int],
     *,
     rng_seed: int | None = None,
+    donate_inputs: Sequence[bool] | None = None,
 ):
     """Return (jitted_fn, const_arg_ids). jitted_fn(const_args, *inputs) →
-    list of outputs; the whole plan is one XLA program."""
+    list of outputs; the whole plan is one XLA program.
+
+    ``donate_inputs`` (a per-input mask) donates those graph-input buffers
+    to XLA — the analog of the reference's in-place input consumption
+    (src/graph.rs:986-1032): callers that thread device arrays through
+    repeated runs (KV-cache graph models via GraphBackend) get true
+    in-place updates instead of a fresh allocation per call. Weights
+    (const args) are never donated."""
     plan = graph.create_plan(list(input_ids), output_ids)
     _, const_arg_ids = split_constants(graph)
     # Only pass the large constants the plan actually uses.
@@ -271,4 +279,7 @@ def build_compiled(
         ctx = OpContext("trace", rng=rng)
         return execute_plan(graph, plan, values, output_ids, ctx)
 
-    return jax.jit(fn), const_arg_ids
+    donate = tuple(
+        i + 1 for i, d in enumerate(donate_inputs or ()) if d
+    )
+    return jax.jit(fn, donate_argnums=donate), const_arg_ids

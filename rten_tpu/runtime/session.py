@@ -31,6 +31,9 @@ class RunOptions:
     timing_by_shape: bool = False
     mode: str | None = None  # None → session default ("compile" | "interpret")
     seed: int | None = None
+    # Donate device-resident input buffers in compile mode (in-place reuse
+    # across calls — KV-style graph models; host arrays are never donated).
+    donate_inputs: bool = False
 
 
 @dataclasses.dataclass
@@ -172,16 +175,26 @@ class Model:
             return result
 
         # compile mode
+        donate_mask = (
+            tuple(isinstance(v, jax.Array) for v in in_vals)
+            if opts.donate_inputs
+            else None
+        )
         sig = (
             tuple(in_ids),
             tuple(out_ids),
             tuple((tuple(np.shape(v)), str(np.result_type(v))) for v in in_vals),
             opts.seed,
+            donate_mask,
         )
         entry = self._compiled.get(sig)
         if entry is None:
             fn, const_arg_ids = executor.build_compiled(
-                self.graph, in_ids, out_ids, rng_seed=opts.seed
+                self.graph,
+                in_ids,
+                out_ids,
+                rng_seed=opts.seed,
+                donate_inputs=donate_mask,
             )
             entry = (fn, const_arg_ids)
             self._compiled[sig] = entry

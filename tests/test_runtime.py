@@ -328,3 +328,30 @@ def test_rten_timing_env_var(monkeypatch, capsys):
     m.run([np.ones((2, 4), np.float32)])
     out = capsys.readouterr().out
     assert "MatMul" in out and "total" in out
+
+
+def test_compile_mode_input_donation(rng):
+    """RunOptions(donate_inputs=True) donates device-resident inputs to the
+    compiled program (the analog of the reference's in-place input
+    consumption, src/graph.rs:986-1032): results stay correct and the donated
+    buffer is consumed; host (numpy) inputs are never donated."""
+    import jax
+    import jax.numpy as jnp
+
+    g = Graph()
+    x = g.add_value("x")
+    c = g.add_constant("c", np.float32(2.0))
+    out = g.add_simple_op("Mul", [x, c], name="scale")
+    g.inputs, g.outputs = [x], [out]
+    model = Model(g, options=ModelOptions(enable_optimization=False))
+
+    xv = jnp.asarray(rng.standard_normal((8, 8)).astype(np.float32))
+    expected = np.asarray(xv) * 2.0
+    (got,) = model.run([xv], opts=RunOptions(mode="compile", donate_inputs=True))
+    np.testing.assert_allclose(np.asarray(got), expected)
+    assert xv.is_deleted()  # the device buffer was donated
+
+    # numpy inputs take the non-donating signature and still work
+    xn = rng.standard_normal((8, 8)).astype(np.float32)
+    (got2,) = model.run([xn], opts=RunOptions(mode="compile", donate_inputs=True))
+    np.testing.assert_allclose(np.asarray(got2), xn * 2.0)
