@@ -82,8 +82,14 @@ def _gemv_kernel(
         x = xn_scr[...]
     else:
         x = x_ref[...].astype(jnp.float32)
-    w = w_ref[...].astype(jnp.float32)
-    acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    # MXU dtype: when the model's activations are bf16 anyway, run the dot
+    # in bf16 (int8 weight values are exactly representable in bf16, so
+    # only x's rounding is at stake — information the bf16 model never had).
+    # f32 dots run the MXU at 1/6 rate and stop hiding under the weight DMA
+    # on wide stripes.
+    dot_dtype = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
+    w = w_ref[...].astype(dot_dtype)
+    acc = jnp.dot(x.astype(dot_dtype), w, preferred_element_type=jnp.float32)
     out = acc * s_ref[...]
     if b_ref is not None:
         out = out + b_ref[...].astype(jnp.float32)
@@ -109,7 +115,7 @@ def quant_gemv_int8(
     norm_bias=None,
     norm_eps: float = 1e-5,
     residual=None,  # [M, N] added after activation (fused epilogue)
-    block_n: int = 1024,  # bigger stripes stream measurably faster (DMA amortization)
+    block_n: int = 1024,  # same-process A/B: bf16@1024 ≈ 748 GB/s beats 2048
     out_dtype=None,
     interpret: bool = False,
 ):
@@ -374,14 +380,19 @@ def _mlp_kernel(
     x = x_ref[...].astype(jnp.float32)
     if norm is not None:
         x = _norm_rows(x, norm, norm_eps, ns_ref, nb_ref)
+    # bf16 dots when the model runs bf16 activations (see _gemv_kernel note):
+    # this kernel's whole-matrix DMA has no grid to overlap compute under,
+    # so f32's 6×-slower MXU rate is fully exposed (~2 µs/layer on
+    # GPT-2-small). Scale/bias/activation math stays f32.
+    dd = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
     up = jnp.dot(
-        x, wu_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32
+        x.astype(dd), wu_ref[...].astype(dd), preferred_element_type=jnp.float32
     ) * su_ref[...]
     if bu_ref is not None:
         up = up + bu_ref[...].astype(jnp.float32)
     up = _ACTIVATIONS[activation](up)
     down = jnp.dot(
-        up, wd_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32
+        up.astype(dd), wd_ref[...].astype(dd), preferred_element_type=jnp.float32
     ) * sd_ref[...]
     if bd_ref is not None:
         down = down + bd_ref[...].astype(jnp.float32)
@@ -395,7 +406,7 @@ def _mlp_kernel(
         # drops out of the per-layer decode path.
         xq = _norm_rows(down, norm, norm_eps, qns_ref, qnb_ref)
         qkv = jnp.dot(
-            xq, wq_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32
+            xq.astype(dd), wq_ref[...].astype(dd), preferred_element_type=jnp.float32
         ) * sq_ref[...]
         if bq_ref is not None:
             qkv = qkv + bq_ref[...].astype(jnp.float32)
