@@ -75,12 +75,21 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         return min(times), sum(times)
 
-    t_short, wall_s_ = tmin(n_short)
-    t_long, wall_l = tmin(n_long)
-    wall = wall_s_ + wall_l
+    # The chip is time-shared behind the tunnel: a single measurement cycle
+    # can land entirely inside a contended window (observed 0.55-0.84 of
+    # roofline on IDENTICAL code). Take the best of several full cycles —
+    # device capability is the min step time, contention is additive noise.
+    wall = 0.0
+    step_s = float("inf")
+    for _ in range(3):
+        t_short, wall_s_ = tmin(n_short)
+        t_long, wall_l = tmin(n_long)
+        wall += wall_s_ + wall_l
+        cycle = (t_long - t_short) / (n_long - n_short)
+        if cycle > 0:
+            step_s = min(step_s, cycle)
 
-    n_tokens = n_runs * (n_short + n_long) * batch
-    step_s = (t_long - t_short) / (n_long - n_short)
+    n_tokens = 3 * n_runs * (n_short + n_long) * batch
     tok_s = batch / step_s
 
     # Roofline: bytes the decode step actually READS per token (batch 1).
