@@ -97,3 +97,12 @@ def min_area_rect(points: list[Point] | Polygon) -> RotatedRect:
 
     _, center, up, w, h = best
     return RotatedRect(center, up, w, h)
+
+
+def simplify_polyline(points: list[Point], epsilon: float) -> list[Point]:
+    """Douglas-Peucker over an OPEN polyline (reference:
+    poly_algos.rs simplify_polyline — simplify_polygon's non-closing
+    counterpart, used for stroke paths)."""
+    if len(points) < 3:
+        return list(points)
+    return list(simplify_polygon(Polygon(list(points)), epsilon).points)

@@ -189,3 +189,26 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert "input 'x': shape [1, 3, 4]" in out_text
     assert "cli test" in out_text
     assert "latency" in out_text
+
+
+def test_fill_polygon_triangle():
+    from rten_tpu.image.drawing import fill_polygon
+    from rten_tpu.image.shapes import Point, Polygon
+
+    img = np.zeros((12, 12), np.float32)
+    tri = Polygon([Point(1, 1), Point(1, 10), Point(10, 1)])
+    fill_polygon(img, tri, 1.0)
+    # Interior pixels set, exterior clear, roughly half the bbox filled.
+    assert img[2, 2] == 1.0 and img[3, 5] == 1.0
+    assert img[10, 10] == 0.0 and img[0, 0] == 0.0
+    filled = img.sum()
+    assert 25 <= filled <= 55  # ~half of the 9x9 bbox
+
+
+def test_simplify_polyline_open():
+    from rten_tpu.image.poly import simplify_polyline
+    from rten_tpu.image.shapes import Point
+
+    pts = [Point(0, 0), Point(0.05, 1), Point(0, 2), Point(2, 2)]
+    out = simplify_polyline(pts, epsilon=0.2)
+    assert len(out) == 3  # middle near-collinear point dropped
