@@ -219,3 +219,105 @@ def test_resnet50_onnx_to_rten_compile_parity(tmp_path):
     # BASELINE config 1 parity bars: logits ≤1e-3 and top-1 agreement.
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
     np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
+
+
+class InvertedResidual(torch.nn.Module):
+    """MobileNetV2-style block: pointwise expand → depthwise (groups=C) →
+    pointwise project, ReLU6 activations, residual when shapes match."""
+
+    def __init__(self, c_in, c_out, stride, expand=4):
+        super().__init__()
+        mid = c_in * expand
+        self.use_res = stride == 1 and c_in == c_out
+        self.pw1 = torch.nn.Conv2d(c_in, mid, 1, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(mid)
+        self.dw = torch.nn.Conv2d(mid, mid, 3, stride, 1, groups=mid, bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(mid)
+        self.pw2 = torch.nn.Conv2d(mid, c_out, 1, bias=False)
+        self.bn3 = torch.nn.BatchNorm2d(c_out)
+
+    def forward(self, x):
+        y = torch.nn.functional.relu6(self.bn1(self.pw1(x)))
+        y = torch.nn.functional.relu6(self.bn2(self.dw(y)))
+        y = self.bn3(self.pw2(y))
+        return x + y if self.use_res else y
+
+
+def test_mobilenet_style_blocks_onnx_parity(tmp_path):
+    """Depthwise (groups=C) convs + ReLU6 (Clip) through the ONNX → .rten →
+    optimizer → compile pipeline (BASELINE config 2's MobileNet class)."""
+    torch.manual_seed(1)
+    rng = np.random.default_rng(1)
+    blocks = torch.nn.Sequential(
+        InvertedResidual(8, 16, 2), InvertedResidual(16, 16, 1)
+    ).eval()
+    _randomize_bn(blocks, rng)
+
+    nodes, inits = [], []
+    uid = iter(range(10**6))
+
+    def init(name, t):
+        inits.append(ob.make_tensor(name, t.detach().numpy()))
+        return name
+
+    def conv(x, mod, prefix):
+        out = f"{prefix}_y{next(uid)}"
+        nodes.append(
+            ob.make_node(
+                "Conv", [x, init(f"{prefix}.weight", mod.weight)], [out],
+                strides=list(mod.stride), pads=list(mod.padding) * 2,
+                group=mod.groups, kernel_shape=list(mod.kernel_size),
+            )
+        )
+        return out
+
+    def bn(x, mod, prefix):
+        out = f"{prefix}_y{next(uid)}"
+        nodes.append(
+            ob.make_node(
+                "BatchNormalization",
+                [x, init(f"{prefix}.w", mod.weight), init(f"{prefix}.b", mod.bias),
+                 init(f"{prefix}.m", mod.running_mean), init(f"{prefix}.v", mod.running_var)],
+                [out], epsilon=mod.eps,
+            )
+        )
+        return out
+
+    def relu6(x):
+        lo = init(f"lo{next(uid)}", torch.tensor(0.0))
+        hi = init(f"hi{next(uid)}", torch.tensor(6.0))
+        out = f"clip_y{next(uid)}"
+        nodes.append(ob.make_node("Clip", [x, lo, hi], [out]))
+        return out
+
+    x = "input"
+    for bi, blk in enumerate(blocks):
+        p = f"b{bi}"
+        y = relu6(bn(conv(x, blk.pw1, f"{p}.pw1"), blk.bn1, f"{p}.bn1"))
+        y = relu6(bn(conv(y, blk.dw, f"{p}.dw"), blk.bn2, f"{p}.bn2"))
+        y = bn(conv(y, blk.pw2, f"{p}.pw2"), blk.bn3, f"{p}.bn3")
+        if blk.use_res:
+            out = f"{p}_res{next(uid)}"
+            nodes.append(ob.make_node("Add", [x, y], [out]))
+            y = out
+        x = y
+    nodes.append(ob.make_node("Identity", [x], ["features"]))
+
+    graph_proto = ob.make_model(
+        ob.make_graph(
+            nodes,
+            inputs=[ob.make_value_info("input", [1, 8, 16, 16])],
+            outputs=[ob.make_value_info("features", None)],
+            initializers=inits,
+        )
+    )
+    graph, _ = load_onnx(graph_proto)
+    path = tmp_path / "mblocks.rten"
+    path.write_bytes(save_rten(graph))
+    session = Model.load_file(str(path))
+
+    xv = rng.standard_normal((1, 8, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = blocks(torch.from_numpy(xv)).numpy()
+    (got,) = session.run({"input": xv}, ["features"], RunOptions(mode="compile"))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-3, atol=1e-3)
