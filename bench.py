@@ -77,17 +77,19 @@ def main() -> None:
 
     # The chip is time-shared behind the tunnel: a single measurement cycle
     # can land entirely inside a contended window (observed 0.55-0.84 of
-    # roofline on IDENTICAL code). Take the best of several full cycles —
-    # device capability is the min step time, contention is additive noise.
-    wall = 0.0
-    step_s = float("inf")
+    # roofline on IDENTICAL code). Interleave several cycles and slope the
+    # GLOBAL minima: min over all short runs vs min over all long runs.
+    # (Taking the best per-cycle slope instead is biased fast — an unlucky
+    # short-run min fakes a shallow slope; global minima both converge to
+    # the uncontended device time.)
+    t_shorts, t_longs, wall = [], [], 0.0
     for _ in range(3):
-        t_short, wall_s_ = tmin(n_short)
-        t_long, wall_l = tmin(n_long)
-        wall += wall_s_ + wall_l
-        cycle = (t_long - t_short) / (n_long - n_short)
-        if cycle > 0:
-            step_s = min(step_s, cycle)
+        ts, ws = tmin(n_short)
+        tl, wl = tmin(n_long)
+        t_shorts.append(ts)
+        t_longs.append(tl)
+        wall += ws + wl
+    step_s = (min(t_longs) - min(t_shorts)) / (n_long - n_short)
 
     n_tokens = 3 * n_runs * (n_short + n_long) * batch
     tok_s = batch / step_s

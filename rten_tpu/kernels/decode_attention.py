@@ -53,11 +53,12 @@ def _decode_attn_kernel(
     # scalar prefetch
     kv_len_ref,
     # inputs
-    q_ref,  # [1, Hk, Gp, D] VMEM
+    q_ref,  # [1, Hk, Gp, D] VMEM — or None with pk_ref
     k_hbm,  # [B, Hk, S*D/128, 128] ANY (stays in HBM; aliased as output)
     v_hbm,
     kn_ref,  # [1, Hk, 8, D] VMEM — new token's k (row 0) or None
     vn_ref,
+    pk_ref,  # [1, 3, Hk, 8, D] VMEM — packed q|k_new|v_new, or None
     wo_ref,  # [Hk, G·D, Dm] int8 — fused output projection, or None
     wos_ref,  # [1, Dm]
     wob_ref,  # [1, Dm] or None
@@ -81,8 +82,18 @@ def _decode_attn_kernel(
     length = kv_len_ref[b]
     n_blocks = pl.cdiv(length, block_s)
     f = _LANES // d  # tokens packed per 128-lane buffer row
-    hk = q_ref.shape[1]
-    gp = q_ref.shape[2]
+    if pk_ref is not None:
+        hk = pk_ref.shape[2]
+        gp = pk_ref.shape[3]
+    else:
+        hk = q_ref.shape[1]
+        gp = q_ref.shape[2]
+    has_new = kn_ref is not None or pk_ref is not None
+
+    def _new_tok(which):  # [Hk, 1, D] — the appended token's k (0) or v (1)
+        if pk_ref is not None:
+            return pk_ref[0, 1 + which, :, 0:1, :]
+        return (kn_ref if which == 0 else vn_ref)[0, :, 0:1, :]
 
     def dma(buf_slot, blk_idx):
         row0 = blk_idx * rows_per_block
@@ -107,7 +118,7 @@ def _decode_attn_kernel(
         kc0.start()
         vc0.start()
 
-    if kn_ref is not None:
+    if has_new:
         # Append the new token into the cache: read-modify-write the 8-row
         # (sublane-aligned) window holding position ``length``'s 128-lane
         # row. Valid lanes are written back unchanged, and the main loop
@@ -134,20 +145,22 @@ def _decode_attn_kernel(
         rows = jax.lax.broadcasted_iota(jnp.int32, (hk, 8, _LANES), 1)
         hit = jnp.logical_and(rows == local, lane // d == sub)
 
-        def _merge(which, src_new_ref):
+        def _merge(which):
             old = row_buf[which]  # [Hk, 8, 128]
-            new = src_new_ref[0, :, 0:1, :]  # [Hk, 1, D]
+            new = _new_tok(which)  # [Hk, 1, D]
             tiled = jnp.concatenate([new] * f, axis=-1) if f > 1 else new
             row_buf[which] = jnp.where(hit, tiled.astype(old.dtype), old)
 
         _row_copy(0, k_hbm, False).wait()
-        _merge(0, kn_ref)
+        _merge(0)
         _row_copy(0, k_hbm, True).start()
         _row_copy(1, v_hbm, False).wait()
-        _merge(1, vn_ref)
+        _merge(1)
         _row_copy(1, v_hbm, True).start()
 
-    q = q_ref[0].astype(jnp.float32)  # [Hk, Gp, D]
+    q = (pk_ref[0, 0] if pk_ref is not None else q_ref[0]).astype(
+        jnp.float32
+    )  # [Hk, Gp, D]
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -208,11 +221,11 @@ def _decode_attn_kernel(
         acc = acc * alpha + pv
         return m_next, l_next, acc
 
-    if kn_ref is not None:
+    if has_new:
         # Seed the online softmax with the new token itself (it is the last
         # valid position and always attends to itself): m = its score, l = 1,
         # acc = its value — never read back from HBM.
-        k_new = kn_ref[0, :, 0:1, :].astype(jnp.float32)  # [Hk, 1, D]
+        k_new = _new_tok(0).astype(jnp.float32)  # [Hk, 1, D]
         s_new = jax.lax.dot_general(
             q, k_new, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -222,7 +235,7 @@ def _decode_attn_kernel(
         init = (
             s_new,
             jnp.ones((hk, gp, 1), jnp.float32),
-            jnp.broadcast_to(vn_ref[0, :, 0:1, :].astype(jnp.float32), (hk, gp, d)),
+            jnp.broadcast_to(_new_tok(1).astype(jnp.float32), (hk, gp, d)),
         )
     else:
         init = (
@@ -252,7 +265,7 @@ def _decode_attn_kernel(
         if res_ref is not None:
             out = out + res_ref[...].astype(jnp.float32)
         o_ref[...] = out.astype(o_ref.dtype)
-    if kn_ref is not None:
+    if has_new:
         # Await the deferred cache-append writes only now — an un-waited DMA
         # at kernel exit is a hardware fault, but nothing in THIS kernel
         # reads the written window (cols ≥ length are masked), so the writes
@@ -289,6 +302,7 @@ def decode_attention(
     wo_scales=None,
     wo_bias=None,
     residual=None,  # [B, Dm] added after the projection
+    packed_qkv=None,  # [B, 3, Hk, 8, D] — q|k_new|v_new in ONE operand
     *,
     sm_scale: float | None = None,
     block_s: int = 256,
@@ -309,14 +323,29 @@ def decode_attention(
     caller MUST donate them) and attends over prefix+new. Returns
     (out, k_cache, v_cache).
 
+    With ``packed_qkv`` (instead of q/k_new/v_new; MHA + fused wo only):
+    the query and the appended token arrive as ONE [B, 3, Hk, 8, D] operand
+    that the caller builds straight from the flat qkv projection — one XLA
+    staging fusion per layer instead of ~6 split/reshape/pad ops.
+
     Causality is implied either way: the single query is the last valid
     position.
     """
-    b, h, sq, d = q.shape
-    assert sq == 1, "decode_attention handles exactly one query position"
-    hk = k_cache.shape[1]
-    assert h % hk == 0
-    group = h // hk
+    packed = packed_qkv is not None
+    if packed:
+        assert q is None and k_new is None and v_new is None
+        assert wo_q is not None, "packed_qkv requires the fused wo projection"
+        b, three, hk, gp_in, d = packed_qkv.shape
+        assert three == 3 and gp_in == 8
+        h = wo_q.shape[0] // d
+        group = h // hk
+        assert group <= 8, "packed_qkv supports group <= 8"
+    else:
+        b, h, sq, d = q.shape
+        assert sq == 1, "decode_attention handles exactly one query position"
+        hk = k_cache.shape[1]
+        assert h % hk == 0
+        group = h // hk
     if sm_scale is None:
         sm_scale = 1.0 / (d**0.5)
     kv_len = jnp.asarray(kv_len, jnp.int32).reshape(b)
@@ -345,37 +374,45 @@ def decode_attention(
             f"got head_dim={d}, s_max={s_max}, block_s={block_s}"
         )
     rows_per_block = block_s * d // _LANES
-    fused_write = k_new is not None
+    fused_write = packed or k_new is not None
 
-    # [B, H, 1, D] -> [B, Hk, group, D], pad group rows to the f32 sublane
-    # minimum so the q tile is a legal VMEM shape.
     gp = max(8, -(-group // 8) * 8)
-    qg = q.reshape(b, hk, group, d)
-    if gp != group:
-        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
-
-    in_specs = [
-        pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
-    ]
-    args = [kv_len, qg, kf, vf]
+    if packed:
+        in_specs = [
+            pl.BlockSpec((1, 3, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        args = [kv_len, packed_qkv, kf, vf]
+    else:
+        # [B, H, 1, D] -> [B, Hk, group, D], pad group rows to the f32
+        # sublane minimum so the q tile is a legal VMEM shape.
+        qg = q.reshape(b, hk, group, d)
+        if gp != group:
+            qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
+        in_specs = [
+            pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        args = [kv_len, qg, kf, vf]
     scratch = [
         pltpu.VMEM((2, hk, rows_per_block, _LANES), k_cache.dtype),
         pltpu.VMEM((2, hk, rows_per_block, _LANES), v_cache.dtype),
         pltpu.SemaphoreType.DMA((2, 2)),
     ]
+    out_dtype = packed_qkv.dtype if packed else q.dtype
     fused_wo = wo_q is not None
     if fused_wo:
         dm = wo_q.shape[1]
         assert wo_q.shape[0] == h * d, (wo_q.shape, h, d)
-        attn_out_shape = jax.ShapeDtypeStruct((b, dm), q.dtype)
+        attn_out_shape = jax.ShapeDtypeStruct((b, dm), out_dtype)
         attn_out_spec = pl.BlockSpec((1, dm), lambda bi, *_: (bi, 0))
     else:
-        attn_out_shape = jax.ShapeDtypeStruct((b, hk, gp, d), q.dtype)
+        attn_out_shape = jax.ShapeDtypeStruct((b, hk, gp, d), out_dtype)
         attn_out_spec = pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0))
 
-    if fused_write:
+    if fused_write and not packed:
         knp = jnp.pad(k_new, ((0, 0), (0, 0), (0, 7), (0, 0)))
         vnp = jnp.pad(v_new, ((0, 0), (0, 0), (0, 7), (0, 0)))
         in_specs += [
@@ -383,6 +420,7 @@ def decode_attention(
             pl.BlockSpec((1, hk, 8, d), lambda bi, *_: (bi, 0, 0, 0)),
         ]
         args += [knp, vnp]
+    if fused_write:
         scratch += [
             pltpu.VMEM((2, hk, 8, _LANES), k_cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -422,9 +460,11 @@ def decode_attention(
         out_specs = attn_out_spec
         aliases = {}
 
-    def kernel(kv_len_ref, q_ref, k_hbm, v_hbm, *rest):
+    def kernel(kv_len_ref, first_ref, k_hbm, v_hbm, *rest):
         rest = list(rest)
-        if fused_write:
+        pk_ref = first_ref if packed else None
+        q_ref = None if packed else first_ref
+        if fused_write and not packed:
             kn_ref, vn_ref = rest.pop(0), rest.pop(0)
         else:
             kn_ref = vn_ref = None
@@ -451,6 +491,7 @@ def decode_attention(
             v_tgt,
             kn_ref,
             vn_ref,
+            pk_ref,
             wo_ref,
             wos_ref,
             wob_ref,

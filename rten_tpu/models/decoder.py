@@ -434,6 +434,7 @@ def forward(
     for li, layer in enumerate(params["layers"]):
         resid = x
         xn = None if fuse else _norm(x, layer["ln1"], cfg)
+        qkv_flat = None
         if qkv_pending is not None:
             # This layer's qkv was already computed inside the PREVIOUS
             # layer's MLP kernel (pre-norm included) — one fewer kernel
@@ -441,6 +442,7 @@ def forward(
             qkv_dim = (h + 2 * hk) * hd
             qkv = qkv_pending.reshape(b, t, -1)[..., :qkv_dim]
             qkv_pending = None
+            qkv_flat = qkv
             q, k, v = (
                 qkv[..., : h * hd],
                 qkv[..., h * hd : (h + hk) * hd],
@@ -451,6 +453,7 @@ def forward(
             qkv = _fproj(
                 x, layer["wqkv"], layer.get("bqkv"), norm_p=layer["ln1"], out_dim=qkv_dim
             ) if fuse else _proj(xn, layer["wqkv"], layer.get("bqkv"), out_dim=qkv_dim)
+            qkv_flat = qkv
             q, k, v = (
                 qkv[..., : h * hd],
                 qkv[..., h * hd : (h + hk) * hd],
@@ -606,19 +609,45 @@ def forward(
             ]["q"].shape == (h * hd, cfg.d_model)
             if wo_fused:
                 # ... plus the output projection + residual in the SAME
-                # kernel: the attention vector never leaves VMEM.
-                hidden, k_cache, v_cache = decode_attention(
-                    q,
-                    cache["k"][li],
-                    cache["v"][li],
-                    start,
-                    k,
-                    v,
-                    layer["wo"]["q"],
-                    layer["wo"]["s"],
-                    layer.get("bo"),
-                    resid.reshape(b, cfg.d_model),
+                # kernel: the attention vector never leaves VMEM. MHA models
+                # without RoPE hand the kernel the flat qkv PACKED as one
+                # operand — the q/k/v split plus per-tensor reshape/pad
+                # staging (~6 tiny XLA ops per layer) collapses to a single
+                # fusion, and the dead split ops DCE away.
+                packed_ok = (
+                    qkv_flat is not None
+                    and hk == h
+                    and cfg.pos_encoding != "rope"
                 )
+                if packed_ok:
+                    pk = qkv_flat.reshape(b, 3, hk, 1, hd)
+                    pk = jnp.pad(pk, ((0, 0), (0, 0), (0, 0), (0, 7), (0, 0)))
+                    hidden, k_cache, v_cache = decode_attention(
+                        None,
+                        cache["k"][li],
+                        cache["v"][li],
+                        start,
+                        None,
+                        None,
+                        layer["wo"]["q"],
+                        layer["wo"]["s"],
+                        layer.get("bo"),
+                        resid.reshape(b, cfg.d_model),
+                        packed_qkv=pk,
+                    )
+                else:
+                    hidden, k_cache, v_cache = decode_attention(
+                        q,
+                        cache["k"][li],
+                        cache["v"][li],
+                        start,
+                        k,
+                        v,
+                        layer["wo"]["q"],
+                        layer["wo"]["s"],
+                        layer.get("bo"),
+                        resid.reshape(b, cfg.d_model),
+                    )
                 attn = None
                 x = hidden.reshape(b, t, cfg.d_model).astype(x.dtype)
             else:

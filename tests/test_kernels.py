@@ -467,3 +467,45 @@ def test_paged_decode_attention_int8_matches_dequant_reference(rng):
             kc_ref[bi, :, lens[bi]],
             rtol=2e-2, atol=2e-2,
         )
+
+
+def test_decode_attention_packed_qkv_matches_separate(rng):
+    """The packed single-operand q|k_new|v_new path (MHA + fused wo) must
+    match the separate-operand call exactly."""
+    from rten_tpu.kernels.decode_attention import decode_attention
+    from rten_tpu.kernels.quant_matmul import quantize_weights_int8
+
+    b, h, s, d, dm = 2, 4, 128, 64, 256
+    q = rng.standard_normal((b, h, 1, d)).astype(np.float32) * 0.3
+    kc = rng.standard_normal((b, h, s, d)).astype(np.float32) * 0.3
+    vc = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    kn = rng.standard_normal((b, h, 1, d)).astype(np.float32) * 0.3
+    vn = rng.standard_normal((b, h, 1, d)).astype(np.float32)
+    lens = np.array([13, 77], np.int32)
+    wo_q, wo_s = quantize_weights_int8(rng.standard_normal((h * d, dm)).astype(np.float32))
+    resid = rng.standard_normal((b, dm)).astype(np.float32)
+
+    ref_out, ref_k, ref_v = decode_attention(
+        jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(lens),
+        jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(wo_q), jnp.asarray(wo_s), None, jnp.asarray(resid),
+        block_s=128, interpret=True,
+    )
+
+    # Pack exactly as decoder.forward does: flat [B, 3*H*D] → [B,3,H,1,D] pad.
+    flat = np.concatenate(
+        [q.reshape(b, -1), kn.reshape(b, -1), vn.reshape(b, -1)], axis=1
+    )
+    pk = jnp.pad(
+        jnp.asarray(flat).reshape(b, 3, h, 1, d),
+        ((0, 0), (0, 0), (0, 0), (0, 7), (0, 0)),
+    )
+    out, k2, v2 = decode_attention(
+        None, jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(lens),
+        None, None,
+        jnp.asarray(wo_q), jnp.asarray(wo_s), None, jnp.asarray(resid),
+        packed_qkv=pk, block_s=128, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(ref_k))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(ref_v))
