@@ -140,9 +140,17 @@ class GraphBackend:
             if n.startswith("present")
         }
         if mode is None:
+            # Auto-select compiled only when the graph ALSO takes explicit
+            # position_ids: a graph that derives positions from the past-KV
+            # length (instead of the mask/positions we feed) would read the
+            # padded bucket length as the position. Mask-honoring graphs
+            # without position_ids can opt in with mode="compiled" if their
+            # positions come from the attention-mask cumsum.
             mode = (
                 "compiled"
-                if self.attention_mask_name and self.cache_inputs
+                if self.attention_mask_name
+                and self.position_ids_name
+                and self.cache_inputs
                 else "interpret"
             )
         self.mode = mode

@@ -24,7 +24,10 @@
 
 namespace {
 
-std::string g_error;
+// Per-thread: errors and returned-name storage must not race between
+// threads (every entry point is callable from any thread).
+thread_local std::string g_error;
+thread_local std::string g_name_scratch;
 PyThreadState *g_main_state = nullptr;
 
 struct Gil {
@@ -36,12 +39,15 @@ struct Gil {
 void set_error_from_python() {
   PyObject *type, *value, *trace;
   PyErr_Fetch(&type, &value, &trace);
+  g_error = "unknown python error";
   if (value) {
     PyObject *s = PyObject_Str(value);
-    g_error = s ? PyUnicode_AsUTF8(s) : "unknown python error";
-    Py_XDECREF(s);
-  } else {
-    g_error = "unknown python error";
+    if (s) {
+      const char *utf8 = PyUnicode_AsUTF8(s);
+      if (utf8) g_error = utf8;
+      Py_DECREF(s);
+    }
+    PyErr_Clear();  // AsUTF8/Str may themselves have set an exception
   }
   Py_XDECREF(type);
   Py_XDECREF(value);
@@ -71,7 +77,6 @@ struct Tensor {
 
 struct Model {
   PyObject *model = nullptr;  // rten_tpu.runtime.session.Model
-  std::string scratch;        // backing storage for returned name pointers
   ~Model() {
     Gil gil;
     Py_XDECREF(model);
@@ -222,9 +227,13 @@ static const char *name_at(void *handle, const char *method, int i) {
     return nullptr;
   }
   PyObject *item = PyList_GetItem(names, i);  // borrowed
-  m->scratch = item ? PyUnicode_AsUTF8(item) : "";
+  const char *utf8 = item ? PyUnicode_AsUTF8(item) : nullptr;
+  if (!utf8) PyErr_Clear();
+  // thread_local storage: the returned pointer stays valid until THIS
+  // thread's next name_at call, regardless of other threads.
+  g_name_scratch = utf8 ? utf8 : "";
   Py_DECREF(names);
-  return m->scratch.c_str();
+  return g_name_scratch.c_str();
 }
 
 int rten_model_input_count(void *h) { return name_count(h, "input_names"); }

@@ -11,7 +11,7 @@ recognition and quantized-subgraph → fused Pallas dequant-matmul.
 
 from __future__ import annotations
 
-from rten_tpu.graph import Graph, subgraphs_of
+from rten_tpu.graph import Graph
 from rten_tpu.optimize.passes import (
     absorb_transposes,
     convert_captured_values_to_constants,

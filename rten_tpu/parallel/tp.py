@@ -258,8 +258,8 @@ def _tp_mlp(x, layer, cfg, axis, overlap):
     return (x + resid).astype(cfg.dtype)
 
 
-def _specs(cfg: D.DecoderConfig, params, cache):
-    from rten_tpu.parallel.mesh import cache_specs, decoder_param_specs
+def _specs(params, cache):
+    from rten_tpu.parallel.mesh import decoder_param_specs
 
     pspec = decoder_param_specs(params)
     cspec = _tp_cache_specs(cache)
@@ -267,6 +267,12 @@ def _specs(cfg: D.DecoderConfig, params, cache):
 
 
 def _tp_cache_specs(cache):
+    if set(cache) != {"k", "v", "len"}:
+        raise NotImplementedError(
+            f"shard_map TP supports plain k/v caches; got leaves "
+            f"{sorted(cache)} (int8-KV and paged caches need tp_paged_decode "
+            f"or the pjit path)"
+        )
     kv = P("data", "model", None, None)
     n = len(cache["k"])
     return {"k": [kv] * n, "v": [kv] * n, "len": P("data")}
@@ -290,7 +296,7 @@ def tp_decode_step(
 ):
     """One decode step with the whole layer loop under shard_map — the
     explicit-TP equivalent of decoder.decode_step."""
-    pspec, cspec = _specs(cfg, params, cache)
+    pspec, cspec = _specs(params, cache)
 
     body = functools.partial(
         tp_forward,
@@ -310,38 +316,10 @@ def tp_decode_step(
     return fn(params, tokens, cache)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "mesh", "use_flash", "overlap", "interpret_kernels"),
-    donate_argnums=(3,),
-)
-def tp_prefill(
-    params,
-    cfg: D.DecoderConfig,
-    tokens,
-    cache,
-    *,
-    mesh: Mesh,
-    use_flash: bool | None = None,
-    overlap: bool = False,
-    interpret_kernels: bool = False,
-):
-    pspec, cspec = _specs(cfg, params, cache)
-    body = functools.partial(
-        tp_forward,
-        axis="model",
-        use_flash=use_flash,
-        overlap=overlap,
-        interpret_kernels=interpret_kernels,
-    )
-    fn = jax.shard_map(
-        lambda p, t, c: body(p, cfg, t, c),
-        mesh=mesh,
-        in_specs=(pspec, P("data", None), cspec),
-        out_specs=(P("data", None, None), cspec),
-        check_vma=False,
-    )
-    return fn(params, tokens, cache)
+# Prefill is the same shard_map program evaluated at T > 1 (the body handles
+# both); a separate name keeps call sites readable without duplicating the
+# wiring.
+tp_prefill = tp_decode_step
 
 
 @functools.partial(

@@ -95,8 +95,19 @@ class ServingEngine:
         (quantize_params_int8(..., fuse=False))."""
         if tp_mode not in ("pjit", "shard_map"):
             raise ValueError(f"unknown tp_mode {tp_mode!r}")
-        if tp_mode == "shard_map" and mesh is None:
-            raise ValueError("tp_mode='shard_map' requires a mesh")
+        if tp_mode == "shard_map":
+            if mesh is None:
+                raise ValueError("tp_mode='shard_map' requires a mesh")
+            if cfg.int8_kv:
+                raise NotImplementedError(
+                    "tp_mode='shard_map' has no int8-KV attention path yet; "
+                    "use tp_mode='pjit' for int8_kv engines"
+                )
+            if any("wqkv" in l or "w_gu" in l for l in params["layers"]):
+                raise ValueError(
+                    "shard_map TP needs unfused projections — quantize with "
+                    "quantize_params_int8(params, fuse=False)"
+                )
         self.tp_mode = tp_mode
         if mesh is not None:
             from rten_tpu.parallel import shard_decoder_params

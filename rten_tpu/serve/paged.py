@@ -329,6 +329,16 @@ class PagedServingEngine:
             # and continues from the next token (output empty for fresh ones).
             ctx = list(req.prompt) + list(req.output)
             need = -(-(len(ctx) + 1) // psz)  # context + first decode page room
+            if need > self.pool.n_pages:
+                # submit() bounds prompt+max_new_tokens by the pool, so this
+                # is unreachable for admitted requests — but waiting here
+                # would spin forever (nothing can ever free enough pages).
+                self.queue.popleft()
+                req.finished = True
+                raise MemoryError(
+                    f"request {req.request_id} needs {need} pages, pool has "
+                    f"{self.pool.n_pages}"
+                )
             if need > self.pool.n_free:
                 break  # wait for pages to free up
             self.queue.popleft()
