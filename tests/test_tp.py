@@ -159,3 +159,39 @@ def test_sp_prefill_gpt2_layout(rng):
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
     )
+
+
+def test_pp_forward_matches_single_chip(rng):
+    """GPipe-style pipeline parallelism: layers staged over a 'pipe' mesh
+    axis, microbatched activations hopping via ppermute — logits must equal
+    the single-chip forward."""
+    from jax.sharding import Mesh
+    from rten_tpu.parallel.pp import pp_forward, stack_layer_params
+
+    cfg = dataclasses.replace(CFG, n_layers=4)
+    params = decoder.init_params(jax.random.PRNGKey(9), cfg)
+    stacked = stack_layer_params(params)
+    prompt = jnp.asarray(rng.integers(0, 96, (4, 8)).astype(np.int32))
+
+    ref, _ = decoder.forward(params, cfg, prompt, None, use_flash=False)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pipe",))
+    for m in (1, 2, 4):
+        got = pp_forward(stacked, cfg, prompt, mesh=mesh, n_microbatches=m)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_pp_forward_gpt2_layout(rng):
+    from jax.sharding import Mesh
+    from rten_tpu.parallel.pp import pp_forward, stack_layer_params
+
+    cfg = dataclasses.replace(GPT2ISH, n_layers=2)
+    params = decoder.init_params(jax.random.PRNGKey(10), cfg)
+    stacked = stack_layer_params(params)
+    prompt = jnp.asarray(rng.integers(0, 96, (2, 6)).astype(np.int32))
+    ref, _ = decoder.forward(params, cfg, prompt, None, use_flash=False)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("pipe",))
+    got = pp_forward(stacked, cfg, prompt, mesh=mesh, n_microbatches=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
