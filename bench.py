@@ -160,6 +160,41 @@ def main() -> None:
     tflops = 2 * n**3 / min(plausible) / 1e12 if plausible else float("nan")
     tflops_ok = tflops == tflops  # not NaN
 
+    # Tertiary: Whisper-class encoder-decoder INT8-weights + INT8-KV decode
+    # (BASELINE config 4) — ms per decode step at WHISPER_TINY dims.
+    from rten_tpu.models import encoder_decoder as ed
+
+    ecfg = ed.EncDecConfig(int8_kv=True)
+    eparams = ed.quantize_params_int8(ed.init_params(jax.random.PRNGKey(2), ecfg))
+    eparams = jax.device_put(eparams)
+    mel = jnp.asarray(
+        rng2.standard_normal((1, ecfg.n_mels, 2 * ecfg.n_audio_ctx)).astype(
+            np.float32
+        ).astype(jnp.bfloat16)
+    )
+    enc_states = ed.encode_jit(eparams, ecfg, mel)
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def ed_chain(steps):
+        state = ed.init_decoder_state(eparams, ecfg, enc_states, 448)
+
+        def body(carry, _):
+            state, tok = carry
+            logits, state = ed.decode_step(eparams, ecfg, tok, state)
+            nxt = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+            return (state, nxt), None
+
+        (state, tok), _ = jax.lax.scan(
+            body, (state, jnp.zeros((1, 1), jnp.int32)), None, length=steps
+        )
+        return tok
+
+    ed_steps = [
+        marginal_step_time(lambda s: ed_chain(steps=s), 64, 384, trials=5)
+        for _ in range(2)
+    ]
+    ed_step = min(s for s in ed_steps if s > 0) if any(s > 0 for s in ed_steps) else float("nan")
+
     print(
         json.dumps(
             {
@@ -176,6 +211,9 @@ def main() -> None:
                     "weight_mbytes": round(weight_bytes / 1e6, 1),
                     "prefill_dequant_matmul_tflops": round(tflops, 1) if tflops_ok else None,
                     "prefill_vs_mxu_peak": round(tflops / 197.0, 4) if tflops_ok else None,
+                    "whisper_int8kv_decode_ms": round(ed_step * 1e3, 4)
+                    if ed_step == ed_step
+                    else None,
                     "backend": jax.default_backend(),
                 },
             }
