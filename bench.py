@@ -161,39 +161,48 @@ def main() -> None:
     tflops_ok = tflops == tflops  # not NaN
 
     # Tertiary: Whisper-class encoder-decoder INT8-weights + INT8-KV decode
-    # (BASELINE config 4) — ms per decode step at WHISPER_TINY dims.
-    from rten_tpu.models import encoder_decoder as ed
+    # (BASELINE config 4) — ms per decode step at WHISPER_TINY dims. Guarded:
+    # a tertiary-metric failure must never take down the headline line (the
+    # driver records this program's single JSON line).
+    ed_step = float("nan")
+    try:
+        from rten_tpu.models import encoder_decoder as ed
 
-    ecfg = ed.EncDecConfig(int8_kv=True)
-    eparams = ed.quantize_params_int8(ed.init_params(jax.random.PRNGKey(2), ecfg))
-    eparams = jax.device_put(eparams)
-    mel = jnp.asarray(
-        rng2.standard_normal((1, ecfg.n_mels, 2 * ecfg.n_audio_ctx)).astype(
-            np.float32
-        ).astype(jnp.bfloat16)
-    )
-    enc_states = ed.encode_jit(eparams, ecfg, mel)
-
-    @functools.partial(jax.jit, static_argnames=("steps",))
-    def ed_chain(steps):
-        state = ed.init_decoder_state(eparams, ecfg, enc_states, 448)
-
-        def body(carry, _):
-            state, tok = carry
-            logits, state = ed.decode_step(eparams, ecfg, tok, state)
-            nxt = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
-            return (state, nxt), None
-
-        (state, tok), _ = jax.lax.scan(
-            body, (state, jnp.zeros((1, 1), jnp.int32)), None, length=steps
+        ecfg = ed.EncDecConfig(int8_kv=True)
+        eparams = ed.quantize_params_int8(ed.init_params(jax.random.PRNGKey(2), ecfg))
+        eparams = jax.device_put(eparams)
+        mel = jnp.asarray(
+            rng2.standard_normal((1, ecfg.n_mels, 2 * ecfg.n_audio_ctx)).astype(
+                np.float32
+            ).astype(jnp.bfloat16)
         )
-        return tok
+        enc_states = ed.encode_jit(eparams, ecfg, mel)
 
-    ed_steps = [
-        marginal_step_time(lambda s: ed_chain(steps=s), 64, 384, trials=5)
-        for _ in range(2)
-    ]
-    ed_step = min(s for s in ed_steps if s > 0) if any(s > 0 for s in ed_steps) else float("nan")
+        @functools.partial(jax.jit, static_argnames=("steps",))
+        def ed_chain(steps):
+            state = ed.init_decoder_state(eparams, ecfg, enc_states, 448)
+
+            def body(carry, _):
+                state, tok = carry
+                logits, state = ed.decode_step(eparams, ecfg, tok, state)
+                nxt = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+                return (state, nxt), None
+
+            (state, tok), _ = jax.lax.scan(
+                body, (state, jnp.zeros((1, 1), jnp.int32)), None, length=steps
+            )
+            return tok
+
+        ed_steps = [
+            marginal_step_time(lambda s: ed_chain(steps=s), 64, 384, trials=5)
+            for _ in range(2)
+        ]
+        if any(s > 0 for s in ed_steps):
+            ed_step = min(s for s in ed_steps if s > 0)
+    except Exception as e:  # noqa: BLE001 — report, don't die
+        import sys
+
+        print(f"whisper tertiary metric failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(
