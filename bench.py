@@ -82,16 +82,28 @@ def main() -> None:
     # (Taking the best per-cycle slope instead is biased fast — an unlucky
     # short-run min fakes a shallow slope; global minima both converge to
     # the uncontended device time.)
+    # Wall-clock budget: program LAUNCHES through the tunnel can queue for
+    # seconds each under congestion; degrade to fewer cycles rather than
+    # blowing the driver's timeout.
+    import os
+
+    budget_s = float(os.environ.get("RTEN_BENCH_BUDGET_S", "300"))
+    bench_t0 = time.perf_counter()
+
     t_shorts, t_longs, wall = [], [], 0.0
+    cycles = 0
     for _ in range(3):
         ts, ws = tmin(n_short)
         tl, wl = tmin(n_long)
         t_shorts.append(ts)
         t_longs.append(tl)
         wall += ws + wl
+        cycles += 1
+        if time.perf_counter() - bench_t0 > 0.5 * budget_s:
+            break
     step_s = (min(t_longs) - min(t_shorts)) / (n_long - n_short)
 
-    n_tokens = 3 * n_runs * (n_short + n_long) * batch
+    n_tokens = cycles * n_runs * (n_short + n_long) * batch
     tok_s = batch / step_s
 
     # Roofline: bytes the decode step actually READS per token (batch 1).
@@ -152,10 +164,13 @@ def main() -> None:
     # Best (smallest plausible) step over several attempts: the chip is
     # contended, so single readings understate capability; sub-peak-time
     # readings are measurement glitches and are discarded.
-    steps = [
-        marginal_step_time(lambda s: mm_chain(steps=s), 64, 512, trials=6)
-        for _ in range(3)
-    ]
+    steps = []
+    for _ in range(3):
+        steps.append(
+            marginal_step_time(lambda s: mm_chain(steps=s), 64, 512, trials=6)
+        )
+        if time.perf_counter() - bench_t0 > 0.8 * budget_s:
+            break
     plausible = [s for s in steps if s >= 0.9 * mxu_peak_step]
     tflops = 2 * n**3 / min(plausible) / 1e12 if plausible else float("nan")
     tflops_ok = tflops == tflops  # not NaN
@@ -166,17 +181,22 @@ def main() -> None:
     # driver records this program's single JSON line).
     ed_step = float("nan")
     try:
+        if time.perf_counter() - bench_t0 > 0.9 * budget_s:
+            raise TimeoutError("budget exhausted; skipping tertiary metric")
         from rten_tpu.models import encoder_decoder as ed
 
         ecfg = ed.EncDecConfig(int8_kv=True)
         eparams = ed.quantize_params_int8(ed.init_params(jax.random.PRNGKey(2), ecfg))
         eparams = jax.device_put(eparams)
-        mel = jnp.asarray(
-            rng2.standard_normal((1, ecfg.n_mels, 2 * ecfg.n_audio_ctx)).astype(
+        # Synthetic encoder states: the metric times the DECODE step (self-
+        # attn over the int8 cache + cross-attn over n_audio_ctx states);
+        # compiling the full 1500-ctx encoder would double bench wall time
+        # for no additional information.
+        enc_states = jnp.asarray(
+            rng2.standard_normal((1, ecfg.n_audio_ctx, ecfg.d_model)).astype(
                 np.float32
-            ).astype(jnp.bfloat16)
+            ).astype(ecfg.dtype)
         )
-        enc_states = ed.encode_jit(eparams, ecfg, mel)
 
         @functools.partial(jax.jit, static_argnames=("steps",))
         def ed_chain(steps):
