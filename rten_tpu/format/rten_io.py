@@ -396,9 +396,25 @@ def _constant_to_fbs(node: ConstantNode, segment: _TensorSegment, inline: bool) 
     return out
 
 
+# Attrs that exist only in the in-memory IR (written by optimizer passes,
+# e.g. absorb_transposes' perm_a/perm_b on MatMul) and have no .rten wire
+# field. Serializing a graph that carries one would silently drop it and
+# change results on reload — refuse loudly instead. (Optimized graphs are
+# normally never saved: optimize_graph runs at Model load.)
+_RUNTIME_ONLY_ATTRS = frozenset({"perm_a", "perm_b"})
+
+
 def _operator_to_fbs(node: OperatorNode, segment: _TensorSegment, inline: bool) -> dict:
     if node.op_type not in fbs.OPERATOR_TYPES:
         raise ModelLoadError(f"unsupported operator type {node.op_type!r}")
+    hazards = _RUNTIME_ONLY_ATTRS.intersection(node.attrs)
+    if hazards:
+        raise ModelLoadError(
+            f"operator {node.op_type!r} carries runtime-only attrs "
+            f"{sorted(hazards)} (written by the graph optimizer) that have no "
+            f".rten wire field — saving would silently drop them; serialize "
+            f"the unoptimized graph instead"
+        )
     out: dict[str, Any] = {
         "type": fbs.OPERATOR_TYPES.index(node.op_type),
         "inputs": [i if i is not None else -1 for i in node.inputs],

@@ -153,6 +153,16 @@ class GraphBackend:
                 and self.cache_inputs
                 else "interpret"
             )
+        if mode == "compiled" and self.attention_mask_name is None:
+            # The compiled path marks KV validity through the mask; without
+            # one the graph would attend over bucket padding (and the step
+            # would crash feeding inputs[None]). Fail with the reason instead.
+            raise ValueError(
+                "GraphBackend(mode='compiled') requires the graph to take an "
+                "attention_mask input (HF Optimum export contract); this "
+                "graph has none — use mode='interpret' or auto-lift "
+                "(models/lift.py) onto the native decoder kernels"
+            )
         self.mode = mode
         self.opts = RunOptions(
             mode="compile" if mode == "compiled" else "interpret"

@@ -207,9 +207,16 @@ def paged_attention_supported(head_dim: int, page_size: int) -> bool:
 
 def paged_attention_int8_supported(head_dim: int, page_size: int) -> bool:
     # int8 RMW windows span 32 sublane rows → pages must hold whole windows.
+    # The [Hk, P, 8, 128] scale-page layout additionally caps capacity: a
+    # page's rows_per_page folded rows index the 128 lanes (≤ 128) and the
+    # f = 128/head_dim packed-token slots index the 8 sublanes (≤ 8) —
+    # enforced here so bad configs fail at PagePool construction with a
+    # clear error instead of an opaque negative-pad during kernel tracing.
     return (
         paged_attention_supported(head_dim, page_size)
         and (page_size * head_dim) % (32 * _LANES) == 0
+        and page_size * head_dim // _LANES <= _LANES
+        and _LANES // head_dim <= 8
     )
 
 

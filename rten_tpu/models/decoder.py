@@ -146,7 +146,15 @@ def quantize_params_int8(params: dict, *, fuse: bool = True) -> dict:
 
     ``fuse=False`` skips the qkv / gate|up concatenation — required for
     explicit tensor parallelism (parallel/tp.py), where the concatenated N
-    layout would interleave q|k|v across column shards."""
+    layout would interleave q|k|v across column shards.
+
+    Every small per-channel vector (int8 scales, biases, norm scale/bias)
+    is stored 2-D ``[1, N]`` at rest: the kernels consume them as [1, N]
+    VMEM tiles, and a 1-D [N] array would need a rank-changing relayout
+    (1-D T(1024) tiling → 2-D T(2,128)) that XLA re-runs INSIDE the decode
+    scan body every step — measured ~110 reshape ops ≈ 20-30 µs/step on
+    GPT-2-small, the single largest non-kernel cost. ``v.reshape(1, -1)``
+    on an already-2-D vector traces to no HLO op at all."""
 
     def q(leaf):
         if isinstance(leaf, dict):
@@ -161,7 +169,9 @@ def quantize_params_int8(params: dict, *, fuse: bool = True) -> dict:
             if pad_k or pad_n:
                 arr = np.pad(arr, ((0, pad_k), (0, pad_n)))
             qw, s = quantize_weights_int8(arr, axis=-1)
-            return {"q": jnp.asarray(qw), "s": jnp.asarray(s)}
+            return {"q": jnp.asarray(qw), "s": jnp.asarray(s).reshape(1, -1)}
+        if arr.ndim == 1:
+            return jnp.asarray(leaf).reshape(1, -1)  # see docstring
         return leaf
 
     def walk(node, key=""):
@@ -197,8 +207,8 @@ def quantize_params_int8(params: dict, *, fuse: bool = True) -> dict:
                 fused.pop(k, None)
             if "bq" in src:
                 fused["bqkv"] = jnp.concatenate(
-                    [jnp.asarray(src[k]) for k in ("bq", "bk", "bv")]
-                )
+                    [jnp.asarray(src[k]).reshape(-1) for k in ("bq", "bk", "bv")]
+                ).reshape(1, -1)
                 for k in ("bq", "bk", "bv"):
                     fused.pop(k, None)
         if "w_gate" in src:

@@ -164,7 +164,10 @@ def quantize_params_int8(params: dict) -> dict:
             if pad_n:
                 arr = np.pad(arr, ((0, 0), (0, pad_n)))
             qw, s = quantize_weights_int8(arr, axis=-1)
-            return {"q": jnp.asarray(qw), "s": jnp.asarray(s)}
+            # Scales stored 2-D [1, N]: the kernels consume a [1, N] VMEM
+            # tile, and a 1-D vector forces a rank-changing relayout INSIDE
+            # the decode scan every step (see decoder.quantize_params_int8).
+            return {"q": jnp.asarray(qw), "s": jnp.asarray(s).reshape(1, -1)}
         return leaf
 
     mat_keys = {"wq", "wk", "wv", "wo", "w_up", "w_down"}

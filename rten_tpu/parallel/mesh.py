@@ -38,38 +38,51 @@ def decoder_param_specs(params: dict) -> dict:
         spec = {}
         for name in layer:
             if name in ("wq", "wk", "wv", "w_up", "w_gate"):
-                spec[name] = _maybe_quant(layer[name], P(None, "model"), P("model"))
+                spec[name] = _maybe_quant(layer[name], P(None, "model"), "model")
             elif name in ("wo", "w_down"):
-                spec[name] = _maybe_quant(layer[name], P("model", None), P(None))
+                spec[name] = _maybe_quant(layer[name], P("model", None), None)
             elif name in ("bq", "bk", "bv", "b_up"):
-                spec[name] = P("model")
+                spec[name] = _vec_spec(layer[name], "model")
             elif name in ("bo", "b_down"):
-                spec[name] = P(None)
+                spec[name] = _vec_spec(layer[name], None)
             else:  # norms
-                spec[name] = jax.tree.map(lambda _: P(None), layer[name])
+                spec[name] = jax.tree.map(
+                    lambda leaf: _vec_spec(leaf, None), layer[name]
+                )
         return spec
 
     spec: dict = {
-        "tok_emb": _maybe_quant(params["tok_emb"], P("model", None), P(None)),
-        "final_norm": jax.tree.map(lambda _: P(None), params["final_norm"]),
+        "tok_emb": _maybe_quant(params["tok_emb"], P("model", None), None),
+        "final_norm": jax.tree.map(
+            lambda leaf: _vec_spec(leaf, None), params["final_norm"]
+        ),
         "layers": [layer_spec(l) for l in params["layers"]],
     }
     if "pos_emb" in params:
         spec["pos_emb"] = P(None, None)
     if "lm_head" in params:
-        spec["lm_head"] = _maybe_quant(params["lm_head"], P(None, "model"), P("model"))
+        spec["lm_head"] = _maybe_quant(params["lm_head"], P(None, "model"), "model")
     if "lm_head_q" in params:
         spec["lm_head_q"] = _maybe_quant(
-            params["lm_head_q"], P(None, "model"), P("model")
+            params["lm_head_q"], P(None, "model"), "model"
         )
     return spec
 
 
-def _maybe_quant(leaf, dense_spec: P, scale_spec: P):
+def _vec_spec(leaf, axis: str | None) -> P:
+    """Per-channel vectors (biases, norm params, int8 scales) may be stored
+    1-D [N] or 2-D [1, N] (quantize_params_int8 stores 2-D so the kernels'
+    [1, N] tile needs no in-loop relayout); shard the channel dim either way."""
+    if getattr(leaf, "ndim", 1) == 2:
+        return P(None, axis)
+    return P(axis)
+
+
+def _maybe_quant(leaf, dense_spec: P, scale_axis: str | None):
     """INT8-packed weights {"q","s"}: shard payload like the dense matrix and
     scales along the output-channel axis."""
     if isinstance(leaf, dict):
-        return {"q": dense_spec, "s": scale_spec}
+        return {"q": dense_spec, "s": _vec_spec(leaf["s"], scale_axis)}
     return dense_spec
 
 

@@ -92,11 +92,18 @@ class HeartbeatMonitor:
         timeout: float = 2.0,
         on_peer_dead: Callable[[int], None] | None = None,
         bind_address: str = "0.0.0.0",
+        cluster_token: str | None = None,
     ) -> None:
         self.host_id = host_id
         self.interval = interval
         self.timeout = timeout
         self.on_peer_dead = on_peer_dead
+        # Heartbeats are unauthenticated UDP on a trusted cluster network
+        # (ICI/DCN fabric). A spoofed beat could mask a real peer failure, so
+        # deployments on shared networks should set ``cluster_token`` (any
+        # shared secret): beats carry it and non-matching datagrams are
+        # ignored.
+        self.cluster_token = cluster_token
         self.peers = {pid: PeerState(addr) for pid, addr in peers.items()}
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         # Bind all interfaces by default — a loopback bind would silently
@@ -132,7 +139,10 @@ class HeartbeatMonitor:
     # -- internals --------------------------------------------------------------
 
     def _beat_loop(self) -> None:
-        msg = json.dumps({"id": self.host_id}).encode()
+        beat = {"id": self.host_id}
+        if self.cluster_token is not None:
+            beat["token"] = self.cluster_token
+        msg = json.dumps(beat).encode()
         while not self._stop.wait(self.interval):
             for p in self.peers.values():
                 try:
@@ -147,8 +157,11 @@ class HeartbeatMonitor:
             except (socket.timeout, OSError):
                 continue
             try:
-                pid = json.loads(data.decode())["id"]
+                beat = json.loads(data.decode())
+                pid = beat["id"]
             except (ValueError, KeyError):
+                continue
+            if self.cluster_token is not None and beat.get("token") != self.cluster_token:
                 continue
             peer = self.peers.get(pid)
             if peer is not None:
