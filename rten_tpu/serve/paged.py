@@ -163,9 +163,8 @@ class PagedServingEngine:
         ``mesh``: a model-axis mesh — the page pool shards on KV heads and
         every decode step runs the paged Pallas kernel per shard through the
         explicit TP path (parallel/tp.tp_paged_decode). Requires unfused
-        params; int8_kv under a mesh is not wired yet."""
-        if mesh is not None and int8_kv:
-            raise NotImplementedError("int8_kv paged TP not yet wired")
+        params. With ``int8_kv`` the scale pages shard on heads beside the
+        payload pages (BASELINE config 4 × 5 composed)."""
         self.mesh = mesh
         if mesh is not None:
             from rten_tpu.parallel import shard_decoder_params
@@ -188,6 +187,14 @@ class PagedServingEngine:
             spec = NamedSharding(mesh, P("model", None, None, None))
             self.pool.k_pages = [jax.device_put(p, spec) for p in self.pool.k_pages]
             self.pool.v_pages = [jax.device_put(p, spec) for p in self.pool.v_pages]
+            if int8_kv:
+                # Scale pages [Hk, P, 8, 128] shard on heads like the payload.
+                self.pool.k_scales = [
+                    jax.device_put(p, spec) for p in self.pool.k_scales
+                ]
+                self.pool.v_scales = [
+                    jax.device_put(p, spec) for p in self.pool.v_scales
+                ]
         self.sampler = sampler or ArgMaxSampler()
         self.max_pages_per_seq = 0  # grows with admissions; page table width
         self.seqs: list[_Seq | None] = [None] * max_batch
