@@ -9,14 +9,49 @@ the KV prefix; roofline tok/s = HBM_BW / bytes_per_token). The reference
 publishes no tokens/s numbers (BASELINE.md), so speed-of-light fraction is
 the honest comparator — BASELINE.json's bar is ≥0.90 for the dequant+matmul
 path.
+
+Measurement method (see CLAUDE.md "TPU measurement rules"): the chip sits
+behind a time-shared tunnel whose program-launch cost is 20µs-30ms with
+multi-second queueing under congestion, so
+- device step time = SLOPE between a short and a long lax.scan (launch +
+  prefill cancel), window ≥40ms of signal;
+- short/long runs are INTERLEAVED in pairs spread across the whole bench
+  window and the slope is taken from the GLOBAL minima — a contended
+  window poisons individual samples with strictly-positive noise, so min
+  over many time-spread samples converges to the uncontended device time
+  (min-of-per-cycle-slopes is biased fast and is NOT used);
+- under congestion the pair loop stops early on a wall-clock budget but
+  never trades away pairing — fewer full pairs beat many unpaired samples.
 """
 
 from __future__ import annotations
 
+import functools
 import json
+import os
 import time
 
 import numpy as np
+
+HBM_BW = 8.1e11  # v5e ≈ 810 GB/s nominal
+MXU_TFLOPS = 197.0  # v5e bf16 nominal
+
+
+def _quant_stream_bytes(node, exclude=("tok_emb", "pos_emb")):
+    """Bytes a decode step streams from a params subtree: int8 payload +
+    f32 scales for {"q","s"} packs, raw bytes for dense leaves; embedding
+    tables are gathered (one row), not streamed."""
+    if isinstance(node, dict):
+        if set(node) == {"q", "s"}:
+            return node["q"].size + node["s"].size * 4
+        return sum(
+            _quant_stream_bytes(v, exclude)
+            for k, v in node.items()
+            if k not in exclude
+        )
+    if isinstance(node, list):
+        return sum(_quant_stream_bytes(v, exclude) for v in node)
+    return node.size * node.dtype.itemsize
 
 
 def main() -> None:
@@ -24,6 +59,12 @@ def main() -> None:
     import jax.numpy as jnp
 
     from rten_tpu.models import decoder
+
+    budget_s = float(os.environ.get("RTEN_BENCH_BUDGET_S", "300"))
+    bench_t0 = time.perf_counter()
+
+    def left():
+        return budget_s - (time.perf_counter() - bench_t0)
 
     # GPT-2 small (124M) shape, bf16 activations, INT8 weights.
     cfg = decoder.DecoderConfig(dtype=jnp.bfloat16, max_seq=1024)
@@ -54,62 +95,35 @@ def main() -> None:
         )
         return toks
 
-    # Warmup/compile, then timed runs. The decode loop is one XLA program
-    # (lax.scan) — no per-token host round trip — but each program LAUNCH
-    # through the shared TPU tunnel costs tens of ms with high variance. The
-    # device-side step time is therefore measured as the marginal cost of
-    # extra decode steps: slope between a short and a long scan (launch
-    # overhead and prefill cancel), min over several runs each.
     t0 = time.perf_counter()
     jax.block_until_ready(run_once(0, n_short))
     jax.block_until_ready(run_once(0, n_long))
     warmup_s = time.perf_counter() - t0
 
-    n_runs = 8
-
-    def tmin(n_decode, deadline=None):
-        times = []
-        for i in range(n_runs):
-            t0 = time.perf_counter()
-            jax.block_until_ready(run_once(i + 1, n_decode))
-            times.append(time.perf_counter() - t0)
-            # Under launch-queue congestion a single run can take tens of
-            # seconds; settle for fewer samples rather than blowing the
-            # driver timeout (3 samples still give a usable min).
-            if deadline is not None and len(times) >= 3 and time.perf_counter() > deadline:
-                break
-        return min(times), sum(times)
-
-    # The chip is time-shared behind the tunnel: a single measurement cycle
-    # can land entirely inside a contended window (observed 0.55-0.84 of
-    # roofline on IDENTICAL code). Interleave several cycles and slope the
-    # GLOBAL minima: min over all short runs vs min over all long runs.
-    # (Taking the best per-cycle slope instead is biased fast — an unlucky
-    # short-run min fakes a shallow slope; global minima both converge to
-    # the uncontended device time.)
-    # Wall-clock budget: program LAUNCHES through the tunnel can queue for
-    # seconds each under congestion; degrade to fewer cycles rather than
-    # blowing the driver's timeout.
-    import os
-
-    budget_s = float(os.environ.get("RTEN_BENCH_BUDGET_S", "300"))
-    bench_t0 = time.perf_counter()
-
-    t_shorts, t_longs, wall = [], [], 0.0
-    cycles = 0
-    for ci in range(3):
-        phase_deadline = bench_t0 + (0.2 + 0.15 * ci) * budget_s
-        ts, ws = tmin(n_short, deadline=phase_deadline)
-        tl, wl = tmin(n_long, deadline=phase_deadline + 0.08 * budget_s)
-        t_shorts.append(ts)
-        t_longs.append(tl)
-        wall += ws + wl
-        cycles += 1
-        if time.perf_counter() - bench_t0 > 0.5 * budget_s:
+    # Headline: interleaved short/long pairs until ~55% of the budget is
+    # spent (min 3, max 24 pairs). Spreading pairs over the window maximizes
+    # the chance that BOTH phases catch an uncontended moment; the slope
+    # comes from the global minima.
+    t_shorts: list[float] = []
+    t_longs: list[float] = []
+    wall = 0.0
+    max_pairs, min_pairs = 24, 3
+    headline_deadline = bench_t0 + 0.55 * budget_s
+    for i in range(max_pairs):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_once(2 * i + 1, n_short))
+        t1 = time.perf_counter()
+        jax.block_until_ready(run_once(2 * i + 2, n_long))
+        t2 = time.perf_counter()
+        t_shorts.append(t1 - t0)
+        t_longs.append(t2 - t1)
+        wall += t2 - t0
+        if len(t_shorts) >= min_pairs and time.perf_counter() > headline_deadline:
             break
     step_s = (min(t_longs) - min(t_shorts)) / (n_long - n_short)
 
-    n_tokens = cycles * n_runs * (n_short + n_long) * batch
+    # Actual tokens generated = completed runs only (warmup included).
+    n_tokens = (len(t_shorts) + 1) * n_short + (len(t_longs) + 1) * n_long
     tok_s = batch / step_s
 
     # Roofline: bytes the decode step actually READS per token (batch 1).
@@ -117,26 +131,13 @@ def main() -> None:
     # count; every quantized projection matrix + its scales is streamed in
     # full; the KV cache read is the valid prefix (prefix-bounded decode
     # attention kernel), averaged over the run.
-    def step_bytes(node):
-        total = 0
-        if isinstance(node, dict):
-            if set(node) == {"q", "s"}:
-                return node["q"].size + node["s"].size * 4
-            return sum(
-                step_bytes(v) for k, v in node.items() if k not in ("tok_emb", "pos_emb")
-            )
-        if isinstance(node, list):
-            return sum(step_bytes(v) for v in node)
-        return node.size * node.dtype.itemsize  # norm scales/biases etc.
-
-    weight_bytes = step_bytes(params)
+    weight_bytes = _quant_stream_bytes(params)
     kv_prefix = prompt_len + n_long // 2  # average valid length
     kv_prefix = -(-kv_prefix // 256) * 256  # kernel reads whole 256-blocks
     kv_bytes = (
         2 * cfg.n_layers * cfg.kv_heads * kv_prefix * cfg.head_dim * 2
     )  # k+v, bf16
-    hbm_bw = 8.1e11  # v5e ≈ 810 GB/s
-    roofline_tok_s = hbm_bw / (weight_bytes + kv_bytes)
+    roofline_tok_s = HBM_BW / (weight_bytes + kv_bytes)
 
     # Secondary: prefill-regime fused dequant+matmul TFLOP/s vs MXU peak
     # (BASELINE "≥90% of per-chip roofline" for the compute-bound kernel).
@@ -151,8 +152,6 @@ def main() -> None:
     qw, qs = quantize_weights_int8(rng2.standard_normal((n, n)).astype(np.float32))
     qd, sd = jnp.asarray(qw), jnp.asarray(qs)
 
-    import functools
-
     @functools.partial(jax.jit, static_argnames=("steps",))
     def mm_chain(steps):
         def body(c, _):
@@ -160,36 +159,33 @@ def main() -> None:
 
         return jax.lax.scan(body, a0, None, length=steps)[0]
 
-    # The chip is time-shared (tunnel): use min-per-length over many trials
-    # (NOT min over slopes — unpaired mins bias the slope toward zero), and
-    # retry when contention produces a physically impossible slope.
-    # Window must be WIDE (64 vs 512 steps): launch jitter through the
-    # tunnel is multi-ms, so a 48-step window's ~4 ms signal drowns in it —
-    # round-1's 0.56-of-peak reading was largely that artifact.
-    mxu_peak_step = 2 * n**3 / (197.0 * 1e12)
-    # Best (smallest plausible) step over several attempts: the chip is
-    # contended, so single readings understate capability; sub-peak-time
-    # readings are measurement glitches and are discarded.
+    # Same global-minima discipline, wide window (64 vs 512 steps ≈ 40ms+
+    # signal). Sub-peak-time readings are physically impossible measurement
+    # glitches and are discarded.
+    mxu_peak_step = 2 * n**3 / (MXU_TFLOPS * 1e12)
     steps = []
+    prefill_deadline = bench_t0 + 0.8 * budget_s
     for _ in range(3):
-        # Fewer trials once the budget is half spent (congestion mode).
-        trials = 6 if time.perf_counter() - bench_t0 < 0.5 * budget_s else 3
+        trials = 6 if left() > 0.35 * budget_s else 3
         steps.append(
             marginal_step_time(lambda s: mm_chain(steps=s), 64, 512, trials=trials)
         )
-        if time.perf_counter() - bench_t0 > 0.8 * budget_s:
+        if time.perf_counter() > prefill_deadline:
             break
     plausible = [s for s in steps if s >= 0.9 * mxu_peak_step]
     tflops = 2 * n**3 / min(plausible) / 1e12 if plausible else float("nan")
     tflops_ok = tflops == tflops  # not NaN
 
     # Tertiary: Whisper-class encoder-decoder INT8-weights + INT8-KV decode
-    # (BASELINE config 4) — ms per decode step at WHISPER_TINY dims. Guarded:
-    # a tertiary-metric failure must never take down the headline line (the
-    # driver records this program's single JSON line).
+    # (BASELINE config 4) — normalized against ITS HBM roofline: per decode
+    # step the chip must stream the decoder-side quantized weights, the
+    # cross-attention K/V (full n_audio_ctx, bf16), and the int8 self-KV
+    # prefix + scale tiles. Guarded: a tertiary-metric failure must never
+    # take down the headline line.
     ed_step = float("nan")
+    ed_roofline_ms = float("nan")
     try:
-        if time.perf_counter() - bench_t0 > 0.9 * budget_s:
+        if left() < 0.1 * budget_s:
             raise TimeoutError("budget exhausted; skipping tertiary metric")
         from rten_tpu.models import encoder_decoder as ed
 
@@ -221,17 +217,46 @@ def main() -> None:
             )
             return tok
 
+        ed_n_short, ed_n_long = 64, 384
         ed_steps = [
-            marginal_step_time(lambda s: ed_chain(steps=s), 64, 384, trials=5)
+            marginal_step_time(
+                lambda s: ed_chain(steps=s), ed_n_short, ed_n_long, trials=5
+            )
             for _ in range(2)
         ]
         if any(s > 0 for s in ed_steps):
             ed_step = min(s for s in ed_steps if s > 0)
+
+        # Roofline bytes/step. Decoder-side weights only: cross_attn wk/wv
+        # project the encoder states ONCE per utterance (init_decoder_state),
+        # so they are excluded from the per-step stream.
+        dec_w = 0
+        for layer in eparams["dec_layers"]:
+            dec_w += _quant_stream_bytes(layer["self_attn"])
+            dec_w += _quant_stream_bytes(
+                {k: v for k, v in layer["cross_attn"].items() if k in ("wq", "wo", "bq", "bo")}
+            )
+            dec_w += _quant_stream_bytes(
+                {k: v for k, v in layer.items() if k not in ("self_attn", "cross_attn")}
+            )
+        dec_w += _quant_stream_bytes(eparams["dec_ln"])
+        dec_w += _quant_stream_bytes(eparams["lm_head_q"])
+        h, hd = ecfg.n_heads, ecfg.head_dim
+        itemsize = jnp.dtype(ecfg.dtype).itemsize
+        cross_bytes = 2 * ecfg.n_text_layers * h * ecfg.n_audio_ctx * hd * itemsize
+        self_prefix = -(-(ed_n_short + ed_n_long) // 2 // 256) * 256
+        # int8 payload + the f32 scale tiles the kernel DMAs (8 sublane rows
+        # per 128-lane column group, padding included).
+        self_bytes = 2 * ecfg.n_text_layers * h * self_prefix * hd
+        scale_bytes = 2 * ecfg.n_text_layers * h * 8 * (self_prefix * hd // 128) * 4
+        ed_bytes = dec_w + cross_bytes + self_bytes + scale_bytes
+        ed_roofline_ms = ed_bytes / HBM_BW * 1e3
     except Exception as e:  # noqa: BLE001 — report, don't die
         import sys
 
         print(f"whisper tertiary metric failed: {e}", file=sys.stderr)
 
+    ed_ok = ed_step == ed_step
     print(
         json.dumps(
             {
@@ -244,12 +269,17 @@ def main() -> None:
                     "warmup_ms": round(warmup_s * 1e3, 1),
                     "tokens": n_tokens,
                     "wall_s": round(wall, 2),
+                    "pairs": len(t_shorts),
                     "roofline_tok_s": round(roofline_tok_s, 1),
                     "weight_mbytes": round(weight_bytes / 1e6, 1),
                     "prefill_dequant_matmul_tflops": round(tflops, 1) if tflops_ok else None,
-                    "prefill_vs_mxu_peak": round(tflops / 197.0, 4) if tflops_ok else None,
-                    "whisper_int8kv_decode_ms": round(ed_step * 1e3, 4)
-                    if ed_step == ed_step
+                    "prefill_vs_mxu_peak": round(tflops / MXU_TFLOPS, 4) if tflops_ok else None,
+                    "whisper_int8kv_decode_ms": round(ed_step * 1e3, 4) if ed_ok else None,
+                    "whisper_roofline_ms": round(ed_roofline_ms, 4)
+                    if ed_roofline_ms == ed_roofline_ms
+                    else None,
+                    "whisper_vs_roofline": round(ed_roofline_ms / 1e3 / ed_step, 4)
+                    if ed_ok and ed_roofline_ms == ed_roofline_ms
                     else None,
                     "backend": jax.default_backend(),
                 },

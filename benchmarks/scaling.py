@@ -98,7 +98,31 @@ def main(argv=None):
         for r in results:
             ideal = base["tokens_per_s"] * r["devices"] / base["devices"]
             r["scaling_efficiency"] = r["tokens_per_s"] / ideal if ideal else 1.0
-    print(json.dumps(results, indent=None, default=float))
+            # On a virtual CPU mesh every "device" shares the host's physical
+            # cores, so linear-scaling efficiency is physically unreachable
+            # (8 devices on 1 core can at best hold throughput FLAT). The
+            # meaningful fixed-silicon number is the sharding OVERHEAD: how
+            # much total throughput survives partitioning the same compute
+            # across N program shards + collectives. 1.0 = the mesh program
+            # costs nothing beyond the math; BASELINE's ≥0.85 bar applied to
+            # this proxy bounds the non-compute (collective/glue) fraction.
+            r["fixed_silicon_efficiency"] = r["tokens_per_s"] / base["tokens_per_s"]
+    out = {
+        "backend": "cpu-virtual" if args.virtual else None,
+        "physical_cores": os.cpu_count(),
+        "efficiency_basis": (
+            "scaling_efficiency = tokens_per_s vs linear-in-devices from the "
+            "first mesh (real multi-chip metric); fixed_silicon_efficiency = "
+            "tokens_per_s vs the unsharded run on the SAME silicon (virtual-"
+            "mesh proxy: bounds sharding/collective overhead)"
+        ),
+        "results": results,
+    }
+    if not args.virtual:
+        import jax as _jax
+
+        out["backend"] = _jax.default_backend()
+    print(json.dumps(out, indent=None, default=float))
     return 0
 
 

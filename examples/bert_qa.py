@@ -22,6 +22,16 @@ def main(argv=None):
     p = common.make_parser(__doc__)
     p.add_argument("--question", default="where is the cat")
     p.add_argument("--context", default="the small cat sleeps on the warm mat near the door")
+    p.add_argument(
+        "--model",
+        help="real weights: .npz of an HF BertForQuestionAnswering (or "
+        "BertModel + random span head) state dict, via models/bert."
+        "from_hf_bert; --demo uses seeded weights",
+    )
+    p.add_argument("--heads", type=int, help="override inferred head count (--model)")
+    p.add_argument(
+        "--tokenizer", help="HF tokenizer.json (defaults to the demo word vocab)"
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -33,13 +43,18 @@ def main(argv=None):
     from rten_tpu.text.pretokenizer import BertPreTokenizer
     from rten_tpu.text.tokenizer import Tokenizer, WordPiece
 
-    words = sorted(set((args.question + " " + args.context).lower().split()))
-    vocab = common.word_vocab(words)
-    tok = Tokenizer(
-        WordPiece(vocab),
-        normalizer=Lowercase(),
-        pre_tokenizer=BertPreTokenizer(),
-    )
+    if args.tokenizer:
+        with open(args.tokenizer, encoding="utf-8") as f:
+            tok = Tokenizer.from_json(f.read())
+        vocab = tok.model.vocab
+    else:
+        words = sorted(set((args.question + " " + args.context).lower().split()))
+        vocab = common.word_vocab(words)
+        tok = Tokenizer(
+            WordPiece(vocab),
+            normalizer=Lowercase(),
+            pre_tokenizer=BertPreTokenizer(),
+        )
 
     q_enc = tok.encode(args.question)
     c_enc = tok.encode(args.context)
@@ -47,20 +62,46 @@ def main(argv=None):
     segs = [0] * (len(q_enc.ids) + 2) + [1] * (len(c_enc.ids) + 1)
     ctx_start = len(q_enc.ids) + 2  # first context token position
 
-    cfg = bert.BertConfig(
-        vocab_size=len(vocab), n_layers=2, n_heads=4, d_model=64, d_ff=128, max_seq=64
-    )
-    params = bert.init_params(jax.random.PRNGKey(args.seed), cfg)
+    qa_head = None
+    if args.model:
+        state = common.strip_prefix(common.load_state_npz(args.model), "bert.")
+        d_model = state["embeddings.word_embeddings.weight"].shape[1]
+        n_layers = 0
+        while f"encoder.layer.{n_layers}.attention.self.query.weight" in state:
+            n_layers += 1
+        cfg = bert.BertConfig(
+            vocab_size=state["embeddings.word_embeddings.weight"].shape[0],
+            n_layers=n_layers,
+            n_heads=args.heads or max(1, d_model // 64),
+            d_model=d_model,
+            d_ff=state["encoder.layer.0.intermediate.dense.weight"].shape[0],
+            max_seq=state["embeddings.position_embeddings.weight"].shape[0],
+        )
+        print(f"loaded {args.model}: {cfg.n_layers} layers, d_model {cfg.d_model}")
+        params = bert.from_hf_bert(state, cfg)
+        if "qa_outputs.weight" in state:
+            # BertForQuestionAnswering span head: Linear [2, D] → w [D, 2].
+            qa_head = {
+                "w": jnp.asarray(np.asarray(state["qa_outputs.weight"]).T),
+                "b": jnp.asarray(np.asarray(state["qa_outputs.bias"])),
+            }
+    else:
+        cfg = bert.BertConfig(
+            vocab_size=len(vocab), n_layers=2, n_heads=4, d_model=64, d_ff=128, max_seq=64
+        )
+        params = bert.init_params(jax.random.PRNGKey(args.seed), cfg)
     hidden = bert.encode(
         params,
         cfg,
         jnp.asarray(np.asarray(ids, np.int32)[None]),
         segment_ids=jnp.asarray(np.asarray(segs, np.int32)[None]),
     )
-    qa_head = {
-        "w": jax.random.normal(jax.random.PRNGKey(args.seed + 1), (64, 2)) * 0.1,
-        "b": jnp.zeros((2,)),
-    }
+    if qa_head is None:
+        qa_head = {
+            "w": jax.random.normal(jax.random.PRNGKey(args.seed + 1), (cfg.d_model, 2))
+            * 0.1,
+            "b": jnp.zeros((2,)),
+        }
     start_l, end_l = bert.qa_logits(hidden, qa_head)
     start_l = np.asarray(start_l)[0]
     end_l = np.asarray(end_l)[0]

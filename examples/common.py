@@ -82,3 +82,26 @@ def word_vocab(words: list[str]) -> dict[str, int]:
 
 def run_main(main, argv=None):
     sys.exit(main(argv))
+
+
+def load_state_npz(path: str) -> dict:
+    """Load a checkpoint state dict saved as .npz (numpy arrays keyed by the
+    upstream parameter names) — the examples' real-weight path. The model
+    importers (models/*.from_hf_* / load_torchvision_state_dict) accept
+    numpy arrays directly, so torch is not needed to RUN a converted
+    checkpoint, only to produce one:
+
+        state = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+        np.savez(path, **state)
+    """
+    data = np.load(path)
+    return {k: data[k] for k in data.files}
+
+
+def strip_prefix(state: dict, prefix: str) -> dict:
+    """Strip a wrapper prefix (e.g. "bert." on BertForQuestionAnswering
+    checkpoints) from every matching key."""
+    out = {}
+    for k, v in state.items():
+        out[k[len(prefix):] if k.startswith(prefix) else k] = v
+    return out

@@ -233,7 +233,10 @@ def from_hf_bert(hf_state: dict, cfg: BertConfig, dtype=jnp.float32) -> dict:
     (pytorch-ref-tests/rnn.py, SURVEY.md §4)."""
 
     def g(name):
-        return jnp.asarray(np.asarray(hf_state[name].detach().cpu()), dtype)
+        t = hf_state[name]
+        if hasattr(t, "detach"):  # torch tensor or plain numpy (.npz file)
+            t = t.detach().cpu()
+        return jnp.asarray(np.asarray(t), dtype)
 
     params: dict[str, Any] = {
         "tok_emb": g("embeddings.word_embeddings.weight"),

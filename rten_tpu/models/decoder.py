@@ -156,7 +156,7 @@ def quantize_params_int8(params: dict, *, fuse: bool = True) -> dict:
     GPT-2-small, the single largest non-kernel cost. ``v.reshape(1, -1)``
     on an already-2-D vector traces to no HLO op at all."""
 
-    def q(leaf):
+    def q(leaf, dense_dtype=None):
         if isinstance(leaf, dict):
             return leaf
         arr = np.asarray(leaf, np.float32)
@@ -172,6 +172,11 @@ def quantize_params_int8(params: dict, *, fuse: bool = True) -> dict:
             return {"q": jnp.asarray(qw), "s": jnp.asarray(s).reshape(1, -1)}
         if arr.ndim == 1:
             return jnp.asarray(leaf).reshape(1, -1)  # see docstring
+        if dense_dtype is not None:
+            # Sub-threshold fused concat (built in f32 numpy): keep the
+            # MODEL dtype, or downstream activations silently widen to f32
+            # and dtype-mismatch the bf16 KV cache.
+            return jnp.asarray(arr, dense_dtype)
         return leaf
 
     def walk(node, key=""):
@@ -191,7 +196,10 @@ def quantize_params_int8(params: dict, *, fuse: bool = True) -> dict:
         # Tied embeddings: quantize the logits projection separately so the
         # decode hot loop reads int8 (the bf16 tied matrix would otherwise be
         # half of all per-token HBM traffic).
-        out["lm_head_q"] = q(np.asarray(params["tok_emb"], np.float32).T)
+        out["lm_head_q"] = q(
+            np.asarray(params["tok_emb"], np.float32).T,
+            dense_dtype=params["tok_emb"].dtype,
+        )
 
     if not fuse:
         return out
@@ -202,7 +210,9 @@ def quantize_params_int8(params: dict, *, fuse: bool = True) -> dict:
     for src, fused in zip(params["layers"], out["layers"]):
         wq, wk, wv = (np.asarray(src[k], np.float32) for k in ("wq", "wk", "wv"))
         if (wq.shape[1] + wk.shape[1] + wv.shape[1]) % 128 == 0:
-            fused["wqkv"] = q(np.concatenate([wq, wk, wv], axis=1))
+            fused["wqkv"] = q(
+                np.concatenate([wq, wk, wv], axis=1), dense_dtype=src["wq"].dtype
+            )
             for k in ("wq", "wk", "wv"):
                 fused.pop(k, None)
             if "bq" in src:
@@ -214,7 +224,9 @@ def quantize_params_int8(params: dict, *, fuse: bool = True) -> dict:
         if "w_gate" in src:
             wg, wu = np.asarray(src["w_gate"], np.float32), np.asarray(src["w_up"], np.float32)
             if (wg.shape[1] * 2) % 128 == 0:
-                fused["w_gu"] = q(np.concatenate([wg, wu], axis=1))
+                fused["w_gu"] = q(
+                    np.concatenate([wg, wu], axis=1), dense_dtype=src["w_gate"].dtype
+                )
                 fused.pop("w_gate", None)
                 fused.pop("w_up", None)
     return out
@@ -894,6 +906,14 @@ def generate_scan(
     return jnp.transpose(toks, (1, 0)), cache
 
 
+def _as_np(t):
+    """Accept torch tensors (live checkpoints) OR plain numpy arrays
+    (.npz state-dict files — the examples' --model path)."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu()
+    return np.asarray(t)
+
+
 def from_hf_gpt2(hf_state: dict, cfg: DecoderConfig, dtype=None) -> dict:
     """Convert a HuggingFace ``GPT2LMHeadModel``/``GPT2Model`` state dict into
     this module's params pytree (parity-test path, mirroring the reference's
@@ -905,7 +925,7 @@ def from_hf_gpt2(hf_state: dict, cfg: DecoderConfig, dtype=None) -> dict:
 
     def g(name):
         key = name if name in hf_state else "transformer." + name
-        return jnp.asarray(np.asarray(hf_state[key].detach().cpu()), dtype)
+        return jnp.asarray(_as_np(hf_state[key]), dtype)
 
     params: dict = {
         "tok_emb": g("wte.weight"),
@@ -949,7 +969,7 @@ def from_hf_llama(hf_state: dict, cfg: DecoderConfig, dtype=None) -> dict:
 
     def g(name):
         key = name if name in hf_state else "model." + name
-        return jnp.asarray(np.asarray(hf_state[key].detach().cpu()), dtype)
+        return jnp.asarray(_as_np(hf_state[key]), dtype)
 
     params: dict = {
         "tok_emb": g("embed_tokens.weight"),

@@ -527,7 +527,10 @@ def from_hf_whisper(hf_state: dict, cfg: EncDecConfig, dtype=None) -> dict:
 
     def g(name):
         key = name if name in hf_state else "model." + name
-        return jnp.asarray(np.asarray(hf_state[key].detach().cpu()), dtype)
+        t = hf_state[key]
+        if hasattr(t, "detach"):  # torch tensor or plain numpy (.npz file)
+            t = t.detach().cpu()
+        return jnp.asarray(np.asarray(t), dtype)
 
     def attn(prefix):
         return {

@@ -180,5 +180,33 @@ def test_http_server_generate_and_health():
         with urllib.request.urlopen(req, timeout=120) as r:
             out = json.loads(r.read())
         assert out["finished"] and len(out["tokens"]) == 5
+
+        # The JS client (js/rten_client.js) and docs/http_api.md pin this
+        # exact schema — field renames must fail here, not in a browser.
+        assert set(out) == {"request_id", "tokens", "finished"}
+        assert {"status", "active", "queued", "steps"} <= set(health)
+        assert all(isinstance(t, int) for t in out["tokens"])
     finally:
         server.stop()
+
+
+def test_js_client_contract_files():
+    """The JS binding artifact exists and encodes the same endpoints and
+    fields the server implements (no node in the CI image — the contract is
+    pinned textually here and behaviorally above)."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    js = open(os.path.join(root, "js", "rten_client.js"), encoding="utf-8").read()
+    for needle in (
+        "/generate",
+        "/healthz",
+        "/stats",
+        "max_new_tokens",
+        "maxNewTokens",
+        "request_id",
+        "RtenServerError",
+    ):
+        assert needle in js, needle
+    doc = open(os.path.join(root, "docs", "http_api.md"), encoding="utf-8").read()
+    assert "/generate" in doc and "max_new_tokens" in doc

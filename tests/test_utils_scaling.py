@@ -47,5 +47,8 @@ def test_scaling_harness_runs(capsys):
     rc = scaling.main(["--meshes", "1x1,1x2", "--steps", "8", "--layers", "2"])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert [r["mesh"] for r in out] == ["1x1", "1x2"]
-    assert all(r["tokens_per_s"] > 0 for r in out)
+    rows = out["results"]
+    assert [r["mesh"] for r in rows] == ["1x1", "1x2"]
+    assert all(r["tokens_per_s"] > 0 for r in rows)
+    assert all("fixed_silicon_efficiency" in r for r in rows)
+    assert "efficiency_basis" in out
