@@ -53,12 +53,12 @@ def _decode_attn_kernel(
     # scalar prefetch
     kv_len_ref,
     # inputs
-    q_ref,  # [1, Hk, Gp, D] VMEM — or None with pk_ref
+    q_ref,  # [1, Hk, Gp, 128] VMEM (data in lanes :D) — or None with pk_ref
     k_hbm,  # [B, Hk, S*D/128, 128] ANY (stays in HBM; aliased as output)
     v_hbm,
-    kn_ref,  # [1, Hk, 8, D] VMEM — new token's k (row 0) or None
+    kn_ref,  # [1, Hk, 8, 128] VMEM — new token's k (row 0, lanes :D) or None
     vn_ref,
-    pk_ref,  # [1, 3, Hk, 8, D] VMEM — packed q|k_new|v_new, or None
+    pk_ref,  # [1, 3, Hk, 8, 128] VMEM — packed q|k_new|v_new, or None
     wo_ref,  # [Hk, G·D, Dm] int8 — fused output projection, or None
     wos_ref,  # [1, Dm]
     wob_ref,  # [1, Dm] or None
@@ -91,9 +91,14 @@ def _decode_attn_kernel(
     has_new = kn_ref is not None or pk_ref is not None
 
     def _new_tok(which):  # [Hk, 1, D] — the appended token's k (0) or v (1)
+        # Operands are lane-padded to 128 so the XLA-side staging fusion
+        # stays 128-lane-minor row-major (a 64-minor operand gets a
+        # transposed layout + a ~2 µs conversion copy per layer); the
+        # static lane slice here is the same op the main loop already uses
+        # on k_buf.
         if pk_ref is not None:
-            return pk_ref[0, 1 + which, :, 0:1, :]
-        return (kn_ref if which == 0 else vn_ref)[0, :, 0:1, :]
+            return pk_ref[0, 1 + which, :, 0:1, :d]
+        return (kn_ref if which == 0 else vn_ref)[0, :, 0:1, :d]
 
     def dma(buf_slot, blk_idx):
         row0 = blk_idx * rows_per_block
@@ -158,7 +163,7 @@ def _decode_attn_kernel(
         _merge(1)
         _row_copy(1, v_hbm, True).start()
 
-    q = (pk_ref[0, 0] if pk_ref is not None else q_ref[0]).astype(
+    q = (pk_ref[0, 0] if pk_ref is not None else q_ref[0])[:, :, :d].astype(
         jnp.float32
     )  # [Hk, Gp, D]
 
@@ -247,6 +252,12 @@ def _decode_attn_kernel(
     l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
     final = acc * l_inv  # [Hk, Gp, D] f32
     if wo_ref is None:
+        # Output is lane-padded to 128 for the same layout reason as the
+        # inputs (zero-fill via lane concat — the [new]*f pattern above).
+        if d < _LANES:
+            final = jnp.concatenate(
+                [final] + [jnp.zeros_like(final)] * (_LANES // d - 1), axis=-1
+            )
         o_ref[0] = final.astype(o_ref.dtype)
     else:
         # Fused output projection: per-head partial matmuls against the
@@ -336,7 +347,7 @@ def decode_attention(
         assert q is None and k_new is None and v_new is None
         assert wo_q is not None, "packed_qkv requires the fused wo projection"
         b, three, hk, gp_in, d = packed_qkv.shape
-        assert three == 3 and gp_in == 8
+        assert three == 3 and gp_in in (1, 8)
         h = wo_q.shape[0] // d
         group = h // hk
         assert group <= 8, "packed_qkv supports group <= 8"
@@ -377,9 +388,24 @@ def decode_attention(
     fused_write = packed or k_new is not None
 
     gp = max(8, -(-group // 8) * 8)
+    # Small per-token operands are padded out to the FULL 128-lane minor
+    # dim (not just the 8-sublane minimum): a head_dim-64-minor operand
+    # gets a transposed XLA layout and a lane→sublane conversion fusion
+    # per layer (~2 µs × n_layers of the decode step — the staging cost
+    # STATUS.md tracks); a 128-minor operand keeps row-major end to end
+    # and the kernel just lane-slices [..., :d].
+    lane_pad = _LANES - d
     if packed:
+        if gp_in == 1:
+            packed_qkv = jnp.pad(
+                packed_qkv, ((0, 0), (0, 0), (0, 0), (0, 7), (0, lane_pad))
+            )
+        elif lane_pad:
+            packed_qkv = jnp.pad(
+                packed_qkv, ((0, 0), (0, 0), (0, 0), (0, 0), (0, lane_pad))
+            )
         in_specs = [
-            pl.BlockSpec((1, 3, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 3, hk, gp, _LANES), lambda bi, *_: (bi, 0, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
@@ -388,10 +414,12 @@ def decode_attention(
         # [B, H, 1, D] -> [B, Hk, group, D], pad group rows to the f32
         # sublane minimum so the q tile is a legal VMEM shape.
         qg = q.reshape(b, hk, group, d)
-        if gp != group:
-            qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
+        if gp != group or lane_pad:
+            qg = jnp.pad(
+                qg, ((0, 0), (0, 0), (0, gp - group), (0, lane_pad))
+            )
         in_specs = [
-            pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hk, gp, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
@@ -409,15 +437,17 @@ def decode_attention(
         attn_out_shape = jax.ShapeDtypeStruct((b, dm), out_dtype)
         attn_out_spec = pl.BlockSpec((1, dm), lambda bi, *_: (bi, 0))
     else:
-        attn_out_shape = jax.ShapeDtypeStruct((b, hk, gp, d), out_dtype)
-        attn_out_spec = pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0))
+        attn_out_shape = jax.ShapeDtypeStruct((b, hk, gp, _LANES), out_dtype)
+        attn_out_spec = pl.BlockSpec(
+            (1, hk, gp, _LANES), lambda bi, *_: (bi, 0, 0, 0)
+        )
 
     if fused_write and not packed:
-        knp = jnp.pad(k_new, ((0, 0), (0, 0), (0, 7), (0, 0)))
-        vnp = jnp.pad(v_new, ((0, 0), (0, 0), (0, 7), (0, 0)))
+        knp = jnp.pad(k_new, ((0, 0), (0, 0), (0, 7), (0, lane_pad)))
+        vnp = jnp.pad(v_new, ((0, 0), (0, 0), (0, 7), (0, lane_pad)))
         in_specs += [
-            pl.BlockSpec((1, hk, 8, d), lambda bi, *_: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, hk, 8, d), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hk, 8, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hk, 8, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
         ]
         args += [knp, vnp]
     if fused_write:
@@ -533,7 +563,7 @@ def decode_attention(
     def finish_attn(out):
         if fused_wo:
             return out  # [B, Dm] projected hidden
-        return out[:, :, :group, :].reshape(b, h, 1, d)
+        return out[:, :, :group, :d].reshape(b, h, 1, d)
 
     if fused_write:
         out, k_out, v_out = res
@@ -638,7 +668,7 @@ def _decode_attn_int8_kernel(
 
         def _merge(which, src_new_ref):
             old = row_buf[which]  # [Hk, 32, 128]
-            new = src_new_ref[0, :, 0:1, :]  # [Hk, 1, D]
+            new = src_new_ref[0, :, 0:1, :d]  # [Hk, 1, D] (lanes :D valid)
             tiled = jnp.concatenate([new] * f, axis=-1) if f > 1 else new
             row_buf[which] = jnp.where(hit, tiled.astype(old.dtype), old)
 
@@ -649,7 +679,7 @@ def _decode_attn_int8_kernel(
         _merge(1, vn_ref)
         _row_copy(1, v_hbm, True).start()
 
-    q = q_ref[0].astype(jnp.float32)  # [Hk, Gp, D]
+    q = q_ref[0][:, :, :d].astype(jnp.float32)  # [Hk, Gp, D]
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -707,13 +737,13 @@ def _decode_attn_int8_kernel(
         return m_next, l_next, acc
 
     if kn_ref is not None:
-        k_new = kdq_ref[0, :, 0:1, :].astype(jnp.float32)  # [Hk, 1, D]
+        k_new = kdq_ref[0, :, 0:1, :d].astype(jnp.float32)  # [Hk, 1, D]
         s_new = jax.lax.dot_general(
             q, k_new, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [Hk, Gp, 1]
         s_new = s_new * sm_scale
-        v_seed = vdq_ref[0, :, 0:1, :].astype(jnp.float32)
+        v_seed = vdq_ref[0, :, 0:1, :d].astype(jnp.float32)
         init = (
             s_new,
             jnp.ones((hk, gp, 1), jnp.float32),
@@ -727,7 +757,12 @@ def _decode_attn_int8_kernel(
         )
     m_fin, l_fin, acc = jax.lax.fori_loop(0, n_blocks, body, init)
     l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
-    o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+    final = acc * l_inv
+    if d < _LANES:  # lane-pad the output to 128-minor (see bf16 kernel)
+        final = jnp.concatenate(
+            [final] + [jnp.zeros_like(final)] * (_LANES // d - 1), axis=-1
+        )
+    o_ref[0] = final.astype(o_ref.dtype)
     if kn_ref is not None:
         _row_copy(0, k_hbm, True).wait()
         _row_copy(1, v_hbm, True).wait()
@@ -821,12 +856,13 @@ def decode_attention_int8(
         vf = v_cache_q.reshape(b, hk, s_max * d // _LANES, _LANES)
 
     gp = max(8, -(-group // 8) * 8)
+    lane_pad = _LANES - d  # 128-minor operands/outputs; see decode_attention
     qg = q.reshape(b, hk, group, d)
-    if gp != group:
-        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
+    if gp != group or lane_pad:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, lane_pad)))
 
     in_specs = [
-        pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
+        pl.BlockSpec((1, hk, gp, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
@@ -857,15 +893,15 @@ def decode_attention_int8(
         # vectors don't map onto VPU tiles; a [Hk, 8, D] float block does).
         kdq = (knq.astype(jnp.float32) * kns[:, :, None, None]).astype(jnp.float32)
         vdq = (vnq.astype(jnp.float32) * vns[:, :, None, None]).astype(jnp.float32)
-        knq = jnp.pad(knq, ((0, 0), (0, 0), (0, 7), (0, 0)))
-        vnq = jnp.pad(vnq, ((0, 0), (0, 0), (0, 7), (0, 0)))
-        kdq = jnp.pad(kdq, ((0, 0), (0, 0), (0, 7), (0, 0)))
-        vdq = jnp.pad(vdq, ((0, 0), (0, 0), (0, 7), (0, 0)))
+        knq = jnp.pad(knq, ((0, 0), (0, 0), (0, 7), (0, lane_pad)))
+        vnq = jnp.pad(vnq, ((0, 0), (0, 0), (0, 7), (0, lane_pad)))
+        kdq = jnp.pad(kdq, ((0, 0), (0, 0), (0, 7), (0, lane_pad)))
+        vdq = jnp.pad(vdq, ((0, 0), (0, 0), (0, 7), (0, lane_pad)))
         in_specs += [
-            pl.BlockSpec((1, hk, 8, d), lambda bi, *_: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, hk, 8, d), lambda bi, *_: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, hk, 8, d), lambda bi, *_: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, hk, 8, d), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hk, 8, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hk, 8, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hk, 8, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hk, 8, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
         ]
         args += [knq, vnq, kdq, vdq]
         scratch += [
@@ -873,19 +909,21 @@ def decode_attention_int8(
             pltpu.SemaphoreType.DMA((2,)),
         ]
         out_shape = (
-            jax.ShapeDtypeStruct((b, hk, gp, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hk, gp, _LANES), q.dtype),
             jax.ShapeDtypeStruct(kf.shape, kf.dtype),
             jax.ShapeDtypeStruct(vf.shape, vf.dtype),
         )
         out_specs = (
-            pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hk, gp, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         )
         aliases = {2: 1, 3: 2}
     else:
-        out_shape = jax.ShapeDtypeStruct((b, hk, gp, d), q.dtype)
-        out_specs = pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((b, hk, gp, _LANES), q.dtype)
+        out_specs = pl.BlockSpec(
+            (1, hk, gp, _LANES), lambda bi, *_: (bi, 0, 0, 0)
+        )
         aliases = {}
 
     def kernel(kv_len_ref, q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, *rest):
@@ -930,9 +968,9 @@ def decode_attention_int8(
     )(*args)
 
     if not fused_write:
-        return res[:, :, :group, :].reshape(b, h, 1, d)
+        return res[:, :, :group, :d].reshape(b, h, 1, d)
     out, k_out, v_out = res
-    out = out[:, :, :group, :].reshape(b, h, 1, d)
+    out = out[:, :, :group, :d].reshape(b, h, 1, d)
     if not prefolded:
         k_out = k_out.reshape(b, hk, s_max, d)
         v_out = v_out.reshape(b, hk, s_max, d)

@@ -105,7 +105,7 @@ def _paged_attn_kernel(
 
         def _merge(which, src_new_ref):
             old = row_buf[which]  # [Hk, 8, 128]
-            new = src_new_ref[0, :, 0:1, :]
+            new = src_new_ref[0, :, 0:1, :d]  # lanes :D valid
             tiled = jnp.concatenate([new] * f, axis=-1) if f > 1 else new
             row_buf[which] = jnp.where(hit, tiled.astype(old.dtype), old)
 
@@ -116,7 +116,7 @@ def _paged_attn_kernel(
         _merge(1, vn_ref)
         _row_copy(1, v_hbm, True).start()
 
-    q = q_ref[0].astype(jnp.float32)
+    q = q_ref[0][:, :, :d].astype(jnp.float32)
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -171,7 +171,7 @@ def _paged_attn_kernel(
         return m_next, l_next, acc
 
     if kn_ref is not None:
-        k_new = kn_ref[0, :, 0:1, :].astype(jnp.float32)
+        k_new = kn_ref[0, :, 0:1, :d].astype(jnp.float32)
         s_new = jax.lax.dot_general(
             q, k_new, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -181,7 +181,7 @@ def _paged_attn_kernel(
         init = (
             s_new,
             jnp.ones((hk, gp, 1), jnp.float32),
-            jnp.broadcast_to(vn_ref[0, :, 0:1, :].astype(jnp.float32), (hk, gp, d)),
+            jnp.broadcast_to(vn_ref[0, :, 0:1, :d].astype(jnp.float32), (hk, gp, d)),
         )
     else:
         init = (
@@ -191,7 +191,12 @@ def _paged_attn_kernel(
         )
     m_fin, l_fin, acc = jax.lax.fori_loop(0, n_blocks, body, init)
     l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
-    o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+    final = acc * l_inv
+    if d < _LANES:  # lane-pad output to the 128-minor layout (see wrapper)
+        final = jnp.concatenate(
+            [final] + [jnp.zeros_like(final)] * (_LANES // d - 1), axis=-1
+        )
+    o_ref[0] = final.astype(o_ref.dtype)
     if kn_ref is not None:
         _row_copy(0, k_hbm, True).wait()
         _row_copy(1, v_hbm, True).wait()
@@ -303,7 +308,7 @@ def _paged_attn_int8_kernel(
 
         def _merge(which, src_new_ref):
             old = row_buf[which]
-            new = src_new_ref[0, :, 0:1, :]
+            new = src_new_ref[0, :, 0:1, :d]  # lanes :D valid
             tiled = jnp.concatenate([new] * f, axis=-1) if f > 1 else new
             row_buf[which] = jnp.where(hit, tiled.astype(old.dtype), old)
 
@@ -314,7 +319,7 @@ def _paged_attn_int8_kernel(
         _merge(1, vn_ref)
         _row_copy(1, v_hbm, True).start()
 
-    q = q_ref[0].astype(jnp.float32)
+    q = q_ref[0][:, :, :d].astype(jnp.float32)
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -372,7 +377,7 @@ def _paged_attn_int8_kernel(
         return m_next, l_next, acc
 
     if kn_ref is not None:
-        k_new = kdq_ref[0, :, 0:1, :].astype(jnp.float32)
+        k_new = kdq_ref[0, :, 0:1, :d].astype(jnp.float32)
         s_new = jax.lax.dot_general(
             q, k_new, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -380,7 +385,7 @@ def _paged_attn_int8_kernel(
         init = (
             s_new,
             jnp.ones((hk, gp, 1), jnp.float32),
-            jnp.broadcast_to(vdq_ref[0, :, 0:1, :].astype(jnp.float32), (hk, gp, d)),
+            jnp.broadcast_to(vdq_ref[0, :, 0:1, :d].astype(jnp.float32), (hk, gp, d)),
         )
     else:
         init = (
@@ -390,7 +395,12 @@ def _paged_attn_int8_kernel(
         )
     m_fin, l_fin, acc = jax.lax.fori_loop(0, n_blocks, body, init)
     l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
-    o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+    final = acc * l_inv
+    if d < _LANES:  # lane-pad output to the 128-minor layout (see wrapper)
+        final = jnp.concatenate(
+            [final] + [jnp.zeros_like(final)] * (_LANES // d - 1), axis=-1
+        )
+    o_ref[0] = final.astype(o_ref.dtype)
     if kn_ref is not None:
         _row_copy(0, k_hbm, True).wait()
         _row_copy(1, v_hbm, True).wait()
@@ -444,12 +454,13 @@ def paged_decode_attention_int8(
     fused_write = k_new is not None
 
     gp = max(8, -(-group // 8) * 8)
+    lane_pad = _LANES - d  # 128-minor small operands; see decode_attention
     qg = q.reshape(b, hk, group, d)
-    if gp != group:
-        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
+    if gp != group or lane_pad:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, lane_pad)))
 
     in_specs = [
-        pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
+        pl.BlockSpec((1, hk, gp, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
@@ -476,12 +487,12 @@ def paged_decode_attention_int8(
         vnq, vns = quant(v_new)
         kdq = knq.astype(jnp.float32) * kns[:, :, None, None]
         vdq = vnq.astype(jnp.float32) * vns[:, :, None, None]
-        knq = jnp.pad(knq, ((0, 0), (0, 0), (0, 7), (0, 0)))
-        vnq = jnp.pad(vnq, ((0, 0), (0, 0), (0, 7), (0, 0)))
-        kdq = jnp.pad(kdq, ((0, 0), (0, 0), (0, 7), (0, 0)))
-        vdq = jnp.pad(vdq, ((0, 0), (0, 0), (0, 7), (0, 0)))
+        knq = jnp.pad(knq, ((0, 0), (0, 0), (0, 7), (0, lane_pad)))
+        vnq = jnp.pad(vnq, ((0, 0), (0, 0), (0, 7), (0, lane_pad)))
+        kdq = jnp.pad(kdq, ((0, 0), (0, 0), (0, 7), (0, lane_pad)))
+        vdq = jnp.pad(vdq, ((0, 0), (0, 0), (0, 7), (0, lane_pad)))
         in_specs += [
-            pl.BlockSpec((1, hk, 8, d), lambda bi, *_: (bi, 0, 0, 0))
+            pl.BlockSpec((1, hk, 8, _LANES), lambda bi, *_: (bi, 0, 0, 0))
             for _ in range(4)
         ]
         args += [knq, vnq, kdq, vdq]
@@ -490,20 +501,20 @@ def paged_decode_attention_int8(
             pltpu.SemaphoreType.DMA((2,)),
         ]
         out_shape = (
-            jax.ShapeDtypeStruct((b, hk, gp, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hk, gp, _LANES), q.dtype),
             jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
             jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
         )
         out_specs = (
-            pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hk, gp, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         )
         # flattened operand idx: 0=kv_len, 1=pt, 2=q, 3=k, 4=v → outputs 1,2
         aliases = {3: 1, 4: 2}
     else:
-        out_shape = jax.ShapeDtypeStruct((b, hk, gp, d), q.dtype)
-        out_specs = pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((b, hk, gp, _LANES), q.dtype)
+        out_specs = pl.BlockSpec((1, hk, gp, _LANES), lambda bi, *_: (bi, 0, 0, 0))
         aliases = {}
 
     def kernel(kv_len_ref, pt_ref, q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, *rest):
@@ -547,9 +558,9 @@ def paged_decode_attention_int8(
         interpret=interpret,
     )(*args)
     if not fused_write:
-        return res[:, :, :group, :].reshape(b, h, 1, d)
+        return res[:, :, :group, :d].reshape(b, h, 1, d)
     out, k_out, v_out = res
-    out = out[:, :, :group, :].reshape(b, h, 1, d)
+    out = out[:, :, :group, :d].reshape(b, h, 1, d)
 
     # Splice the new token's scale into its page's scale tile (a small DUS
     # on the donated scale pool — in place at the jit boundary; the paged
@@ -626,12 +637,13 @@ def paged_decode_attention(
         vf = v_pages.reshape(hk, n_pages, rows_per_page, _LANES)
 
     gp = max(8, -(-group // 8) * 8)
+    lane_pad = _LANES - d  # 128-minor small operands; see decode_attention
     qg = q.reshape(b, hk, group, d)
-    if gp != group:
-        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, 0)))
+    if gp != group or lane_pad:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, lane_pad)))
 
     in_specs = [
-        pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
+        pl.BlockSpec((1, hk, gp, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
@@ -642,11 +654,11 @@ def paged_decode_attention(
         pltpu.SemaphoreType.DMA((2, 2)),
     ]
     if fused_write:
-        knp = jnp.pad(k_new, ((0, 0), (0, 0), (0, 7), (0, 0)))
-        vnp = jnp.pad(v_new, ((0, 0), (0, 0), (0, 7), (0, 0)))
+        knp = jnp.pad(k_new, ((0, 0), (0, 0), (0, 7), (0, lane_pad)))
+        vnp = jnp.pad(v_new, ((0, 0), (0, 0), (0, 7), (0, lane_pad)))
         in_specs += [
-            pl.BlockSpec((1, hk, 8, d), lambda bi, *_: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, hk, 8, d), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hk, 8, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hk, 8, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
         ]
         args += [knp, vnp]
         scratch += [
@@ -654,20 +666,20 @@ def paged_decode_attention(
             pltpu.SemaphoreType.DMA((2,)),
         ]
         out_shape = (
-            jax.ShapeDtypeStruct((b, hk, gp, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hk, gp, _LANES), q.dtype),
             jax.ShapeDtypeStruct(kf.shape, kf.dtype),
             jax.ShapeDtypeStruct(vf.shape, vf.dtype),
         )
         out_specs = (
-            pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hk, gp, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         )
         # operand indices incl. scalar prefetch: 0=kv_len, 1=pt, 2=q, 3=k, 4=v
         aliases = {3: 1, 4: 2}
     else:
-        out_shape = jax.ShapeDtypeStruct((b, hk, gp, d), q.dtype)
-        out_specs = pl.BlockSpec((1, hk, gp, d), lambda bi, *_: (bi, 0, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((b, hk, gp, _LANES), q.dtype)
+        out_specs = pl.BlockSpec((1, hk, gp, _LANES), lambda bi, *_: (bi, 0, 0, 0))
         aliases = {}
 
     def kernel(kv_len_ref, pt_ref, q_ref, k_hbm, v_hbm, *rest):
@@ -711,9 +723,9 @@ def paged_decode_attention(
         interpret=interpret,
     )(*args)
     if not fused_write:
-        return res[:, :, :group, :].reshape(b, h, 1, d)
+        return res[:, :, :group, :d].reshape(b, h, 1, d)
     out, k_out, v_out = res
     if not prefolded:
         k_out = k_out.reshape(hk, n_pages, page_size, d)
         v_out = v_out.reshape(hk, n_pages, page_size, d)
-    return (out[:, :, :group, :].reshape(b, h, 1, d), k_out, v_out)
+    return (out[:, :, :group, :d].reshape(b, h, 1, d), k_out, v_out)

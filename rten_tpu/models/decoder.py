@@ -642,8 +642,9 @@ def forward(
                     and cfg.pos_encoding != "rope"
                 )
                 if packed_ok:
+                    # [B,3,Hk,1,D]; decode_attention lane/sublane-pads it to
+                    # the 128-minor operand in ONE row-major staging fusion.
                     pk = qkv_flat.reshape(b, 3, hk, 1, hd)
-                    pk = jnp.pad(pk, ((0, 0), (0, 0), (0, 0), (0, 7), (0, 0)))
                     hidden, k_cache, v_cache = decode_attention(
                         None,
                         cache["k"][li],
