@@ -181,6 +181,36 @@ def quantize_params_int8(params: dict) -> dict:
 
     out = walk(params)
     out["lm_head_q"] = q(np.asarray(params["tok_emb"], np.float32).T)
+
+    # Fuse each decoder layer's self-attention q|k|v into ONE int8 matrix:
+    # one weight stream + one GEMV launch per decode step instead of three
+    # (mirrors decoder.quantize_params_int8's wqkv; reference runs the
+    # three MatMuls separately every token, rten-generate/src/generator.rs
+    # :511). Whisper's k projection is biasless — zeros in the fused bias.
+    for src, dst in zip(params["dec_layers"], out["dec_layers"]):
+        a_src, a_dst = src["self_attn"], dst["self_attn"]
+        wq, wk, wv = (np.asarray(a_src[k_], np.float32) for k_ in ("wq", "wk", "wv"))
+        fused = np.concatenate([wq, wk, wv], axis=1)
+        if not (
+            fused.size >= 1 << 16
+            and fused.shape[0] % 128 == 0
+            and fused.shape[1] % 128 == 0
+        ):
+            continue
+        qw, s = quantize_weights_int8(fused, axis=-1)
+        a_dst["wqkv"] = {"q": jnp.asarray(qw), "s": jnp.asarray(s).reshape(1, -1)}
+        a_dst["bqkv"] = jnp.asarray(
+            np.concatenate(
+                [
+                    np.asarray(a_src["bq"], np.float32),
+                    np.zeros(wk.shape[1], np.float32),
+                    np.asarray(a_src["bv"], np.float32),
+                ]
+            ).reshape(1, -1),
+            dtype=jnp.asarray(a_src["bq"]).dtype,
+        )
+        for k_ in ("wq", "wk", "wv", "bq", "bv"):
+            a_dst.pop(k_, None)
     return out
 
 
@@ -213,8 +243,12 @@ def _sinusoids(length: int, d: int) -> np.ndarray:
 def _attend(q, k, v, *, causal, q_offset=None, kv_len=None, use_flash=None):
     if use_flash is None:
         use_flash = dispatch.on_tpu()
-    fn = flash_attention if use_flash else attention_reference
-    return fn(q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len)
+    if use_flash:
+        return flash_attention(
+            q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
+            interpret=not dispatch.on_tpu(),
+        )
+    return attention_reference(q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len)
 
 
 # ---------------------------------------------------------------------------
@@ -400,12 +434,76 @@ def decode(
         and decode_attention_supported(cfg.head_dim, s_max)
     )
 
+    # Fused single-token decode (config 4's hot loop): every projection
+    # rides the quant GEMV / whole-MLP Pallas kernels with the layer norms,
+    # biases, activations and residuals folded into the weight stream —
+    # 5 kernels per layer-pair of work instead of ~8 kernels + ~10 XLA
+    # staging fusions. RTEN_ED_FUSE=0 forces the eager path, =1 forces the
+    # fused path (interpret-mode kernels — the CPU parity test hook).
+    import os as _os
+
+    from rten_tpu.kernels.quant_matmul import (
+        mlp_fused_supported,
+        quant_gemv_int8,
+        quant_mlp_int8,
+    )
+
+    _fuse_env = _os.environ.get("RTEN_ED_FUSE", "auto")
+    _kernels_on = dispatch.on_tpu() if _fuse_env == "auto" else _fuse_env == "1"
+    _interp = not dispatch.on_tpu()
+    dm = cfg.d_model
+    _l0 = params["dec_layers"][0]
+    fused = (
+        _kernels_on
+        and t == 1
+        and b <= 8
+        and "wqkv" in _l0["self_attn"]
+        and all(
+            isinstance(w, dict)
+            for w in (
+                _l0["self_attn"]["wo"],
+                _l0["cross_attn"]["wq"],
+                _l0["cross_attn"]["wo"],
+                _l0["mlp"]["w_up"],
+                _l0["mlp"]["w_down"],
+            )
+        )
+        and mlp_fused_supported(dm, cfg.d_ff)
+    )
+
+    def _gemv(x2, w, bias=None, **kw):
+        return quant_gemv_int8(
+            x2, w["q"], w["s"], bias=bias, interpret=_interp, **kw
+        )
+
     for li, layer in enumerate(params["dec_layers"]):
         a = layer["self_attn"]
-        xn = _layer_norm(x, layer["ln1"], cfg.layer_norm_eps)
-        q = _heads(_mm(xn, a["wq"]) + a["bq"], h)
-        k = _heads(_mm(xn, a["wk"]), h)
-        v = _heads(_mm(xn, a["wv"]) + a["bv"], h)
+        if fused:
+            x2 = x.reshape(b, dm)
+            qkv = _gemv(
+                x2,
+                a["wqkv"],
+                bias=a["bqkv"],
+                norm="layernorm",
+                norm_scale=layer["ln1"]["scale"],
+                norm_bias=layer["ln1"]["bias"],
+                norm_eps=cfg.layer_norm_eps,
+                out_dtype=cfg.dtype,
+            )[:, None, :]
+            q = _heads(qkv[..., :dm], h)
+            k = _heads(qkv[..., dm : 2 * dm], h)
+            v = _heads(qkv[..., 2 * dm :], h)
+        else:
+            xn = _layer_norm(x, layer["ln1"], cfg.layer_norm_eps)
+            if "wqkv" in a:
+                qkv = _mm(xn, a["wqkv"]) + a["bqkv"]
+                q = _heads(qkv[..., :dm], h)
+                k = _heads(qkv[..., dm : 2 * dm], h)
+                v = _heads(qkv[..., 2 * dm :], h)
+            else:
+                q = _heads(_mm(xn, a["wq"]) + a["bq"], h)
+                k = _heads(_mm(xn, a["wk"]), h)
+                v = _heads(_mm(xn, a["wv"]) + a["bv"], h)
 
         if int8_fast:
             # Single-token decode straight over the INT8 cache: the kernel
@@ -421,6 +519,7 @@ def decode(
                 start,
                 k,
                 v,
+                interpret=_interp,
             )
             new_state["self_k"][li] = k_c
             new_state["self_v"][li] = v_c
@@ -462,7 +561,8 @@ def decode(
             )
         elif bf16_fast:
             attn, k_c, v_c = decode_attention(
-                q, state["self_k"][li], state["self_v"][li], start, k, v
+                q, state["self_k"][li], state["self_v"][li], start, k, v,
+                interpret=_interp,
             )
             new_state["self_k"][li] = k_c
             new_state["self_v"][li] = v_c
@@ -477,10 +577,68 @@ def decode(
                 q, k_cache, v_cache,
                 causal=True, q_offset=start, kv_len=start + t, use_flash=use_flash,
             )
+
+        c = layer["cross_attn"]
+        m = layer["mlp"]
+        if fused:
+            # wo + residual fused; cross-q with its pre-norm fused; cross-wo
+            # + residual fused; whole MLP (norm→up→gelu→down→residual) in
+            # one kernel. Cross attention itself stays XLA: the cross K/V
+            # are precomputed per utterance and the t==1 attention is tiny.
+            x2 = _gemv(
+                _unheads(attn).reshape(b, dm),
+                a["wo"],
+                bias=a["bo"],
+                residual=x2,
+                out_dtype=cfg.dtype,
+            )
+            qx = _heads(
+                _gemv(
+                    x2,
+                    c["wq"],
+                    bias=c["bq"],
+                    norm="layernorm",
+                    norm_scale=layer["ln_x"]["scale"],
+                    norm_bias=layer["ln_x"]["bias"],
+                    norm_eps=cfg.layer_norm_eps,
+                    out_dtype=cfg.dtype,
+                )[:, None, :],
+                h,
+            )
+            attn_x = _attend(
+                qx, state["cross_k"][li], state["cross_v"][li],
+                causal=False, use_flash=use_flash,
+            )
+            x2 = _gemv(
+                _unheads(attn_x).reshape(b, dm),
+                c["wo"],
+                bias=c["bo"],
+                residual=x2,
+                out_dtype=cfg.dtype,
+            )
+            x2 = quant_mlp_int8(
+                x2,
+                m["w_up"]["q"],
+                m["w_up"]["s"],
+                m["w_down"]["q"],
+                m["w_down"]["s"],
+                b_up=m["b_up"],
+                b_down=m["b_down"],
+                activation="gelu",
+                norm="layernorm",
+                norm_scale=layer["ln2"]["scale"],
+                norm_bias=layer["ln2"]["bias"],
+                norm_eps=cfg.layer_norm_eps,
+                residual=x2,
+                out_dtype=cfg.dtype,
+                interpret=_interp,
+            )
+            x = x2[:, None, :]
+            continue
+
         x = x + _mm(_unheads(attn), a["wo"]) + a["bo"]
 
         # Cross attention over precomputed encoder K/V (full length, no mask).
-        c = layer["cross_attn"]
         xn = _layer_norm(x, layer["ln_x"], cfg.layer_norm_eps)
         qx = _heads(_mm(xn, c["wq"]) + c["bq"], h)
         attn_x = _attend(
@@ -489,7 +647,6 @@ def decode(
         )
         x = x + _mm(_unheads(attn_x), c["wo"]) + c["bo"]
 
-        m = layer["mlp"]
         xn = _layer_norm(x, layer["ln2"], cfg.layer_norm_eps)
         hmid = jax.nn.gelu(
             (_mm(xn, m["w_up"]) + m["b_up"]).astype(jnp.float32),
@@ -497,11 +654,22 @@ def decode(
         ).astype(cfg.dtype)
         x = x + _mm(hmid, m["w_down"]) + m["b_down"]
 
-    x = _layer_norm(x, params["dec_ln"], cfg.layer_norm_eps)
-    if "lm_head_q" in params:
-        logits = _mm(x, params["lm_head_q"])[..., : cfg.vocab_size]
+    if fused and isinstance(params.get("lm_head_q"), dict):
+        logits = _gemv(
+            x.reshape(b, dm),
+            params["lm_head_q"],
+            norm="layernorm",
+            norm_scale=params["dec_ln"]["scale"],
+            norm_bias=params["dec_ln"]["bias"],
+            norm_eps=cfg.layer_norm_eps,
+            out_dtype=jnp.float32,
+        )[:, None, : cfg.vocab_size]
     else:
-        logits = dispatch.matmul(x, params["tok_emb"].T)
+        x = _layer_norm(x, params["dec_ln"], cfg.layer_norm_eps)
+        if "lm_head_q" in params:
+            logits = _mm(x, params["lm_head_q"])[..., : cfg.vocab_size]
+        else:
+            logits = dispatch.matmul(x, params["tok_emb"].T)
     new_state["len"] = start + t
     return logits.astype(jnp.float32), new_state
 

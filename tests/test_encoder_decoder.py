@@ -192,7 +192,9 @@ def test_int8_weights_close_to_fp():
     )
     params = ed.init_params(jax.random.PRNGKey(0), cfg)
     qparams = ed.quantize_params_int8(params)
-    assert isinstance(qparams["dec_layers"][0]["self_attn"]["wq"], dict)
+    # Decoder self-attention q|k|v are fused into one int8 matrix.
+    a0 = qparams["dec_layers"][0]["self_attn"]
+    assert isinstance(a0["wqkv"], dict) and "wq" not in a0
 
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((1, 16, 64)).astype(np.float32))
@@ -238,3 +240,70 @@ def test_encdec_generator_backend():
     gen2 = Generator(backend, GeneratorConfig(max_tokens=6)).with_prompt([1])
     toks2 = [int(t[0]) for t in itertools.islice(gen2, 6)]
     assert toks == toks2
+
+
+def test_fused_decode_matches_eager(monkeypatch):
+    """RTEN_ED_FUSE=1 routes the t==1 int8 decode through the fused
+    GEMV/whole-MLP Pallas kernels (interpret mode on CPU); logits must match
+    the eager int8 path step by step."""
+    cfg = ed.EncDecConfig(
+        n_mels=16, n_audio_ctx=32, vocab_size=64, d_model=256, n_heads=2,
+        n_audio_layers=1, n_text_layers=2, d_ff=512, max_text_ctx=32,
+        dtype=jnp.float32,
+    )
+    params = ed.init_params(jax.random.PRNGKey(1), cfg)
+    qparams = ed.quantize_params_int8(params)
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(rng.standard_normal((1, 16, 64)).astype(np.float32))
+    enc = ed.encode(qparams, cfg, mel)
+    ids = rng.integers(0, 64, (1, 4)).astype(np.int32)
+
+    def run(fuse_env):
+        monkeypatch.setenv("RTEN_ED_FUSE", fuse_env)
+        st = ed.init_decoder_state(qparams, cfg, enc)
+        outs = []
+        for i in range(ids.shape[1]):
+            lg, st = ed.decode(
+                qparams, cfg, jnp.asarray(ids[:, i : i + 1]), st, use_flash=False
+            )
+            outs.append(np.asarray(lg))
+        return np.concatenate(outs, axis=1)
+
+    eager = run("0")
+    fused = run("1")
+    rel = np.abs(fused - eager).max() / (np.abs(eager).max() + 1e-9)
+    assert rel < 2e-2, rel
+
+
+def test_fused_decode_int8_kv(monkeypatch):
+    """Fused projections compose with the int8-KV decode attention kernel."""
+    cfg = ed.EncDecConfig(
+        n_mels=16, n_audio_ctx=32, vocab_size=64, d_model=256, n_heads=2,
+        n_audio_layers=1, n_text_layers=1, d_ff=512, max_text_ctx=64,
+        dtype=jnp.float32, int8_kv=True,
+    )
+    params = ed.init_params(jax.random.PRNGKey(2), cfg)
+    qparams = ed.quantize_params_int8(params)
+    rng = np.random.default_rng(2)
+    mel = jnp.asarray(rng.standard_normal((1, 16, 64)).astype(np.float32))
+    enc = ed.encode(qparams, cfg, mel)
+    ids = rng.integers(0, 64, (1, 3)).astype(np.int32)
+
+    def run(fuse_env, use_flash):
+        monkeypatch.setenv("RTEN_ED_FUSE", fuse_env)
+        st = ed.init_decoder_state(qparams, cfg, enc)
+        outs = []
+        for i in range(ids.shape[1]):
+            lg, st = ed.decode(
+                qparams, cfg, jnp.asarray(ids[:, i : i + 1]), st,
+                use_flash=use_flash,
+            )
+            outs.append(np.asarray(lg))
+        return np.concatenate(outs, axis=1)
+
+    eager = run("0", False)
+    # use_flash=True engages the int8_fast decode-attention kernel
+    # (interpret mode on CPU) alongside the fused projections.
+    fused = run("1", True)
+    rel = np.abs(fused - eager).max() / (np.abs(eager).max() + 1e-9)
+    assert rel < 3e-2, rel

@@ -509,3 +509,34 @@ def test_decode_attention_packed_qkv_matches_separate(rng):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
     np.testing.assert_array_equal(np.asarray(k2), np.asarray(ref_k))
     np.testing.assert_array_equal(np.asarray(v2), np.asarray(ref_v))
+
+
+def test_quant_matmul_int8_pipelined_parity(rng, monkeypatch):
+    """RTEN_PREFILL_PIPE=1 selects the K-pipelined dequant kernel (tile
+    conversion overlapped with the previous dot); results must be identical
+    across multiple K blocks, with and without bias/activation."""
+    monkeypatch.setenv("RTEN_PREFILL_PIPE", "1")
+    quant_matmul_int8._clear_cache()
+    try:
+        x = rng.standard_normal((32, 512)).astype(np.float32)
+        w = rng.standard_normal((512, 64)).astype(np.float32)
+        b = rng.standard_normal((64,)).astype(np.float32)
+        w_q, s = quantize_weights_int8(w, axis=-1)
+        out = quant_matmul_int8(
+            x, w_q, s, block_m=128, block_n=128, block_k=128, interpret=True
+        )
+        ref = x @ (w_q.astype(np.float32) * s)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-3)
+        out_b = quant_matmul_int8(
+            x, w_q, s, b, activation="gelu",
+            block_m=128, block_n=128, block_k=128, interpret=True,
+        )
+        ref_b = np.asarray(jax.nn.gelu(ref + b, approximate=False))
+        np.testing.assert_allclose(np.asarray(out_b), ref_b, rtol=1e-4, atol=1e-3)
+        # single-K-block degenerate case (pipeline fill + one dot)
+        out_1 = quant_matmul_int8(
+            x, w_q, s, block_m=128, block_n=128, block_k=512, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(out_1), ref, rtol=1e-4, atol=1e-3)
+    finally:
+        quant_matmul_int8._clear_cache()
