@@ -50,10 +50,13 @@ def _gemv_kernel(
     r_ref,
     o_ref,
     xn_scr,
+    amax_scr=None,  # [M, 128] f32 — running max (argmax mode)
+    aarg_scr=None,  # [M, 128] int32 — running argmax
     *,
     activation,
     norm,
     norm_eps,
+    argmax_n=None,
 ):
     # Whole-K tile: no accumulator loop. The int8→f32 conversion feeds the
     # MXU directly; at M=8 the matmul is trivially cheap and the kernel is
@@ -97,12 +100,50 @@ def _gemv_kernel(
     out = _ACTIVATIONS[activation](out)
     if r_ref is not None:
         out = out + r_ref[...].astype(jnp.float32)
-    o_ref[...] = out.astype(o_ref.dtype)
+    if argmax_n is None:
+        o_ref[...] = out.astype(o_ref.dtype)
+        return
+    # Fused argmax epilogue (the greedy-decode sampler): track the running
+    # (max, argmax) across N stripes in VMEM scratch and emit ONE int32 per
+    # row — the full logits row never round-trips through HBM and the XLA
+    # slice+convert+argmax fusion disappears from the decode step. First
+    # occurrence wins on ties, matching jnp.argmax.
+    j = pl.program_id(0)
+    mp, bn = out.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (mp, bn), 1) + j * bn
+    outm = jnp.where(col < argmax_n, out, -3.389e38)  # mask pad + tail cols
+    bmax = jnp.max(outm, axis=1, keepdims=True)  # [M, 1]
+    barg = jnp.min(
+        jnp.where(outm == bmax, col, jnp.int32(2147483647)),
+        axis=1,
+        keepdims=True,
+    )
+    bmax_b = jnp.broadcast_to(bmax, amax_scr.shape)
+    barg_b = jnp.broadcast_to(barg, aarg_scr.shape)
+
+    @pl.when(j == 0)
+    def _seed():
+        amax_scr[...] = bmax_b
+        aarg_scr[...] = barg_b
+
+    @pl.when(j > 0)
+    def _update():
+        prev_max = amax_scr[...]
+        upd = bmax_b > prev_max  # strict: earlier stripe wins ties
+        amax_scr[...] = jnp.where(upd, bmax_b, prev_max)
+        aarg_scr[...] = jnp.where(upd, barg_b, aarg_scr[...])
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _emit():
+        o_ref[...] = aarg_scr[...]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("activation", "norm", "norm_eps", "block_n", "out_dtype", "interpret"),
+    static_argnames=(
+        "activation", "norm", "norm_eps", "block_n", "out_dtype", "argmax_n",
+        "interpret",
+    ),
 )
 def quant_gemv_int8(
     x,
@@ -118,6 +159,7 @@ def quant_gemv_int8(
     residual=None,  # [M, N] added after activation (fused epilogue)
     block_n: int = 1024,  # same-process A/B: bf16@1024 ≈ 748 GB/s beats 2048
     out_dtype=None,
+    argmax_n: int | None = None,  # fused greedy sampler: return int32 [M]
     interpret: bool = False,
 ):
     """Decode-path GEMV for tiny M (≤8):
@@ -177,8 +219,10 @@ def quant_gemv_int8(
 
     order = [k_ for k_ in ("b_ref", "ns_ref", "nb_ref", "r_ref") if have[k_]]
 
+    n_opt = len(order)
+
     def kernel(x_ref, w_ref, s_ref, *rest):
-        opt = dict(zip(order, rest[:-2]))
+        opt = dict(zip(order, rest[:n_opt]))
         _gemv_kernel(
             x_ref,
             w_ref,
@@ -187,24 +231,40 @@ def quant_gemv_int8(
             opt.get("ns_ref"),
             opt.get("nb_ref"),
             opt.get("r_ref"),
-            rest[-2],
-            rest[-1],
+            *rest[n_opt:],
             activation=activation,
             norm=norm,
             norm_eps=norm_eps,
+            argmax_n=argmax_n,
         )
+
+    if argmax_n is not None:
+        assert activation is None and residual is None, "argmax excludes epilogues"
+        out_shape = jax.ShapeDtypeStruct((mp, 128), jnp.int32)
+        out_specs = pl.BlockSpec((mp, 128), lambda j: (0, 0))
+        scratch = [
+            pltpu.VMEM((mp, k), jnp.float32),
+            pltpu.VMEM((mp, 128), jnp.float32),
+            pltpu.VMEM((mp, 128), jnp.int32),
+        ]
+    else:
+        out_shape = jax.ShapeDtypeStruct((mp, np_), out_dtype)
+        out_specs = pl.BlockSpec((mp, bn), lambda j: (0, j))
+        scratch = [pltpu.VMEM((mp, k), jnp.float32)]
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        out_shape=out_shape,
         grid=(np_ // bn,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((mp, bn), lambda j: (0, j)),
-        scratch_shapes=[pltpu.VMEM((mp, k), jnp.float32)],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            # "arbitrary": the norm scratch is written on stripe 0 and read
-            # by every later stripe — execution must stay in grid order.
-            dimension_semantics=("arbitrary",) if norm is not None else ("parallel",),
+            # "arbitrary": the norm/argmax scratch is written on stripe 0 and
+            # read by every later stripe — execution must stay in grid order.
+            dimension_semantics=("arbitrary",)
+            if (norm is not None or argmax_n is not None)
+            else ("parallel",),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * k,
@@ -213,6 +273,8 @@ def quant_gemv_int8(
         ),
         interpret=interpret,
     )(*args)
+    if argmax_n is not None:
+        return out[:m, 0]
     return out[:m, :n]
 
 

@@ -379,9 +379,15 @@ def forward(
     cache: dict | None = None,
     *,
     use_flash: bool | None = None,
+    lm_head_mode: str = "logits",  # "argmax": return greedy tokens [B, T]
 ) -> tuple[jax.Array, dict | None]:
     """Returns (logits [B, T, vocab], updated cache). With a cache, tokens are
-    appended at cache["len"]; without, this is a plain full-sequence forward."""
+    appended at cache["len"]; without, this is a plain full-sequence forward.
+
+    ``lm_head_mode="argmax"`` returns int32 greedy tokens instead of logits;
+    on the fused decode path the argmax runs inside the lm_head GEMV kernel
+    (the 50k-wide logits row never leaves VMEM — the greedy sampler costs
+    nothing beyond the weight stream)."""
     b, t = tokens.shape
     h, hk, hd = cfg.n_heads, cfg.kv_heads, cfg.head_dim
     if use_flash is None:
@@ -804,18 +810,41 @@ def forward(
             )
         x = _fproj(ff, layer["w_down"], layer.get("b_down"), residual=resid)
 
+    argmax_out = None
     if cfg.tie_embeddings and "lm_head_q" not in params:
         x = _norm(x, params["final_norm"], cfg)
         logits = dispatch.matmul(x, params["tok_emb"].T)
     else:
         head = params["lm_head_q"] if "lm_head_q" in params else params["lm_head"]
         if fuse and isinstance(head, dict):
-            logits = _fproj(
-                x, head, norm_p=params["final_norm"], out_dim=cfg.vocab_size
-            )
+            if lm_head_mode == "argmax" and fuse_norm:
+                from rten_tpu.kernels.quant_matmul import quant_gemv_int8
+
+                fn = params["final_norm"]
+                argmax_out = quant_gemv_int8(
+                    x.reshape(m_rows, cfg.d_model),
+                    head["q"],
+                    head["s"],
+                    norm=cfg.norm,
+                    norm_scale=fn["scale"],
+                    norm_bias=fn.get("bias"),
+                    norm_eps=cfg.layer_norm_eps,
+                    argmax_n=cfg.vocab_size,
+                ).reshape(b, t)
+                logits = None
+            else:
+                logits = _fproj(
+                    x, head, norm_p=params["final_norm"], out_dim=cfg.vocab_size
+                )
         else:
             xn = _norm(x, params["final_norm"], cfg)
             logits = _proj(xn, head, out_dim=cfg.vocab_size)
+    if lm_head_mode == "argmax":
+        if argmax_out is None:
+            argmax_out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        result = argmax_out
+    else:
+        result = None  # filled below (logits path)
 
     if cache is not None:
         if "k_pages" in cache:
@@ -837,8 +866,12 @@ def forward(
             if new_ks_layers:
                 new_cache["k_scale"] = new_ks_layers
                 new_cache["v_scale"] = new_vs_layers
-        return logits.astype(jnp.float32), new_cache
-    return logits.astype(jnp.float32), None
+        if result is None:
+            result = logits.astype(jnp.float32)
+        return result, new_cache
+    if result is None:
+        result = logits.astype(jnp.float32)
+    return result, None
 
 
 def _update_cache(cache_layer, new_kv, start):
@@ -892,14 +925,29 @@ def generate_scan(
     """
     from rten_tpu.generate.sampler import ArgMaxSampler
 
-    sample = (sampler or ArgMaxSampler()).sample
+    greedy = sampler is None or isinstance(sampler, ArgMaxSampler)
+    if greedy:
+        # Greedy decode: the argmax runs inside the lm_head GEMV kernel
+        # (forward's lm_head_mode="argmax") — no 50k-wide logits row, no
+        # per-step RNG split.
+        def body(carry, _):
+            cache, tok, rng = carry
+            nxt, cache = forward(
+                params, cfg, tok, cache, use_flash=use_flash,
+                lm_head_mode="argmax",
+            )
+            nxt = nxt[:, -1]
+            return (cache, nxt[:, None], rng), nxt
 
-    def body(carry, _):
-        cache, tok, rng = carry
-        logits, cache = forward(params, cfg, tok, cache, use_flash=use_flash)
-        rng, sub = jax.random.split(rng)
-        nxt = sample(sub, logits[:, -1, :])
-        return (cache, nxt[:, None], rng), nxt
+    else:
+        sample = sampler.sample
+
+        def body(carry, _):
+            cache, tok, rng = carry
+            logits, cache = forward(params, cfg, tok, cache, use_flash=use_flash)
+            rng, sub = jax.random.split(rng)
+            nxt = sample(sub, logits[:, -1, :])
+            return (cache, nxt[:, None], rng), nxt
 
     (cache, _, _), toks = jax.lax.scan(
         body, (cache, last_tokens, rng), None, length=n_steps
@@ -981,19 +1029,25 @@ def from_hf_llama(hf_state: dict, cfg: DecoderConfig, dtype=None) -> dict:
         params["lm_head"] = g("lm_head.weight").T
     else:
         params["lm_head"] = g("embed_tokens.weight").T  # tied
+    def has(name):
+        return name in hf_state or "model." + name in hf_state
+
     for i in range(cfg.n_layers):
         p = f"layers.{i}."
-        params["layers"].append(
-            {
-                "ln1": {"scale": g(p + "input_layernorm.weight")},
-                "ln2": {"scale": g(p + "post_attention_layernorm.weight")},
-                "wq": g(p + "self_attn.q_proj.weight").T,
-                "wk": g(p + "self_attn.k_proj.weight").T,
-                "wv": g(p + "self_attn.v_proj.weight").T,
-                "wo": g(p + "self_attn.o_proj.weight").T,
-                "w_gate": g(p + "mlp.gate_proj.weight").T,
-                "w_up": g(p + "mlp.up_proj.weight").T,
-                "w_down": g(p + "mlp.down_proj.weight").T,
-            }
-        )
+        layer = {
+            "ln1": {"scale": g(p + "input_layernorm.weight")},
+            "ln2": {"scale": g(p + "post_attention_layernorm.weight")},
+            "wq": g(p + "self_attn.q_proj.weight").T,
+            "wk": g(p + "self_attn.k_proj.weight").T,
+            "wv": g(p + "self_attn.v_proj.weight").T,
+            "wo": g(p + "self_attn.o_proj.weight").T,
+            "w_gate": g(p + "mlp.gate_proj.weight").T,
+            "w_up": g(p + "mlp.up_proj.weight").T,
+            "w_down": g(p + "mlp.down_proj.weight").T,
+        }
+        # Qwen2-style attention biases (plain Llama has none).
+        for ours, theirs in (("bq", "q_proj"), ("bk", "k_proj"), ("bv", "v_proj")):
+            if has(p + f"self_attn.{theirs}.bias"):
+                layer[ours] = g(p + f"self_attn.{theirs}.bias")
+        params["layers"].append(layer)
     return params

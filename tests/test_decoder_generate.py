@@ -333,3 +333,43 @@ def test_decoder_int8_kv_cache():
     )
     assert rel2 < 0.05, rel2
     assert int(np.asarray(cache_q2["len"])[0]) == 7
+
+
+def test_decoder_matches_huggingface_qwen2_biases():
+    """Qwen2-class checkpoints carry q/k/v attention biases — the llama
+    importer must pick them up (attention_bias=True is the wire difference
+    from plain Llama; reference analog rten-examples/src/qwen2_chat.rs)."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(1)
+    hf_cfg = LlamaConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=32, rms_norm_eps=1e-6, rope_theta=10000.0,
+        attention_bias=True,  # the Qwen2 convention
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    # give the biases real values (init is zeros)
+    with torch.no_grad():
+        for layer in hf.model.layers:
+            for proj in (layer.self_attn.q_proj, layer.self_attn.k_proj,
+                         layer.self_attn.v_proj):
+                proj.bias.normal_(0, 0.1)
+
+    cfg = decoder.DecoderConfig(
+        vocab_size=96, n_layers=2, n_heads=4, n_kv_heads=2, d_model=64,
+        d_ff=128, max_seq=32, pos_encoding="rope", norm="rmsnorm",
+        activation="swiglu", tie_embeddings=False, layer_norm_eps=1e-6,
+        dtype=jnp.float32,
+    )
+    params = decoder.from_hf_llama(hf.state_dict(), cfg)
+    assert "bq" in params["layers"][0] and "bk" in params["layers"][0]
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 96, (1, 7)).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    got, _ = decoder.forward(params, cfg, jnp.asarray(ids, jnp.int32), None, use_flash=False)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=3e-4)

@@ -141,3 +141,47 @@ def test_bert_qa_example_real_npz(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "loaded" in out and "A: " in out
+
+
+def test_qwen2_chat_example_real_npz(tmp_path, capsys):
+    """Llama/Qwen2-family real-weight path: .npz state dict (with Qwen2
+    attention biases) through examples/qwen2_chat.py --model."""
+    rng = np.random.default_rng(3)
+    D, FF, V, L, KV = 64, 128, 96, 2, 32  # kv_dim 32 → 2 kv heads at hd=16
+    state = {"embed_tokens.weight": rng.standard_normal((V, D)).astype(np.float32) * 0.05,
+             "norm.weight": np.ones(D, np.float32),
+             "lm_head.weight": rng.standard_normal((V, D)).astype(np.float32) * 0.05}
+    for i in range(L):
+        p = f"layers.{i}."
+        state[p + "input_layernorm.weight"] = np.ones(D, np.float32)
+        state[p + "post_attention_layernorm.weight"] = np.ones(D, np.float32)
+        state[p + "self_attn.q_proj.weight"] = rng.standard_normal((D, D)).astype(np.float32) * 0.05
+        state[p + "self_attn.q_proj.bias"] = rng.standard_normal(D).astype(np.float32) * 0.02
+        state[p + "self_attn.k_proj.weight"] = rng.standard_normal((KV, D)).astype(np.float32) * 0.05
+        state[p + "self_attn.k_proj.bias"] = rng.standard_normal(KV).astype(np.float32) * 0.02
+        state[p + "self_attn.v_proj.weight"] = rng.standard_normal((KV, D)).astype(np.float32) * 0.05
+        state[p + "self_attn.v_proj.bias"] = rng.standard_normal(KV).astype(np.float32) * 0.02
+        state[p + "self_attn.o_proj.weight"] = rng.standard_normal((D, D)).astype(np.float32) * 0.05
+        state[p + "mlp.gate_proj.weight"] = rng.standard_normal((FF, D)).astype(np.float32) * 0.05
+        state[p + "mlp.up_proj.weight"] = rng.standard_normal((FF, D)).astype(np.float32) * 0.05
+        state[p + "mlp.down_proj.weight"] = rng.standard_normal((D, FF)).astype(np.float32) * 0.05
+    path = tmp_path / "qwen2_tiny.npz"
+    np.savez(path, **state)
+
+    from examples import qwen2_chat
+    from rten_tpu.models import decoder
+
+    cfg = qwen2_chat.infer_llama_config(
+        __import__("examples.common", fromlist=["common"]).load_state_npz(str(path)),
+        decoder,
+        n_heads=4,
+    )
+    assert (cfg.n_layers, cfg.d_model, cfg.n_heads, cfg.n_kv_heads, cfg.d_ff) == (
+        2, 64, 4, 2, 128,
+    )
+    rc = qwen2_chat.main(
+        ["--model", str(path), "--heads", "4", "-n", "3", "--turns", "1"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "loaded" in out and "assistant" in out

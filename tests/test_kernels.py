@@ -540,3 +540,40 @@ def test_quant_matmul_int8_pipelined_parity(rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(out_1), ref, rtol=1e-4, atol=1e-3)
     finally:
         quant_matmul_int8._clear_cache()
+
+
+def test_quant_gemv_argmax_fused(rng):
+    """argmax_n fuses the greedy sampler into the GEMV epilogue: int32
+    argmax over the valid columns, first occurrence on ties, padded and
+    beyond-vocab columns masked."""
+    from rten_tpu.kernels.quant_matmul import quant_gemv_int8
+
+    x = rng.standard_normal((1, 256)).astype(np.float32)
+    w = rng.standard_normal((256, 512)).astype(np.float32)
+    w_q, s = quantize_weights_int8(w, axis=-1)
+    vocab = 300  # < N: the tail columns must never win
+    ref_logits = x @ (w_q.astype(np.float32) * s)
+    ref = ref_logits[:, :vocab].argmax(-1)
+    out = quant_gemv_int8(
+        x, w_q, s, argmax_n=vocab, block_n=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    assert np.asarray(out).dtype == np.int32
+
+    # with the fused pre-norm prologue (the lm_head configuration)
+    ns = rng.uniform(0.5, 1.5, 256).astype(np.float32)
+    nb = rng.standard_normal(256).astype(np.float32) * 0.1
+    xn = (x - x.mean(-1, keepdims=True)) / np.sqrt(x.var(-1, keepdims=True) + 1e-5)
+    xn = xn * ns + nb
+    ref_n = (xn @ (w_q.astype(np.float32) * s))[:, :vocab].argmax(-1)
+    out_n = quant_gemv_int8(
+        x, w_q, s, norm="layernorm", norm_scale=ns, norm_bias=nb,
+        argmax_n=vocab, block_n=128, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out_n), ref_n)
+
+    # batch rows act independently
+    xb = rng.standard_normal((4, 256)).astype(np.float32)
+    refb = (xb @ (w_q.astype(np.float32) * s))[:, :vocab].argmax(-1)
+    outb = quant_gemv_int8(xb, w_q, s, argmax_n=vocab, block_n=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(outb), refb)
