@@ -62,7 +62,23 @@ def marginal_step_time(
 ) -> float:
     """Device-side per-step time as the slope between a short and a long run
     — fixed program-launch overhead cancels (the honest method on tunneled
-    TPUs; see docs/performance.md)."""
-    t_short = run_bench(trials, "short", lambda: run_at(short)).min
-    t_long = run_bench(trials, "long", lambda: run_at(long)).min
-    return (t_long - t_short) / (long - short)
+    TPUs; see docs/performance.md).
+
+    Short/long runs are INTERLEAVED in pairs and the slope is taken from the
+    global minima: the chip is time-shared, so two sequential sample blocks
+    can land in differently-contended windows and fake a slope; paired
+    minima both converge to the uncontended device time."""
+    import jax
+
+    jax.block_until_ready(run_at(short))  # compile/warm both lengths
+    jax.block_until_ready(run_at(long))
+    t_short, t_long = [], []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_at(short))
+        t1 = time.perf_counter()
+        jax.block_until_ready(run_at(long))
+        t2 = time.perf_counter()
+        t_short.append(t1 - t0)
+        t_long.append(t2 - t1)
+    return (min(t_long) - min(t_short)) / (long - short)
