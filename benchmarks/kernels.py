@@ -171,11 +171,50 @@ def bench_decode_attention(rows):
     rows.append((f"decode attn+wo (kv=384) x{L}", f"{step / L * 1e6:7.2f} us/layer", ""))
 
 
+def bench_argmax_gemv(rows):
+    """lm-head GEMV with the fused argmax epilogue vs XLA-side argmax —
+    the greedy-sampler step of generate_scan. Both variants chain through a
+    token→embedding gather so the comparison includes identical glue."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rten_tpu.kernels.quant_matmul import quant_gemv_int8, quantize_weights_int8
+
+    k, n, vocab = 768, 51200, 50257
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((1, k)).astype(np.float32).astype(jnp.bfloat16))
+    table = jnp.asarray(
+        rng.standard_normal((vocab, k)).astype(np.float32).astype(jnp.bfloat16)
+    )
+    mats = []
+    for _ in range(2):
+        qw, qs = quantize_weights_int8(rng.standard_normal((k, n)).astype(np.float32))
+        mats.append((jnp.asarray(qw), jnp.asarray(qs)))
+
+    def fn_fused(c, mats=mats):
+        for qd, sd in mats:
+            tok = quant_gemv_int8(c, qd, sd, argmax_n=vocab)
+            c = table[tok[0]][None, :]
+        return c
+
+    def fn_xla(c, mats=mats):
+        for qd, sd in mats:
+            logits = quant_gemv_int8(c, qd, sd, out_dtype=jnp.float32)
+            tok = jnp.argmax(logits[:, :vocab], axis=-1)
+            c = table[tok[0]][None, :]
+        return c
+
+    for label, fn in (("fused", fn_fused), ("xla-argmax", fn_xla)):
+        step = _measure(fn, x0, short=32, long=256) / 2
+        rows.append((f"lm-head+greedy ({label})", f"{step * 1e6:7.2f} us/call", ""))
+
+
 SUITES = {
     "prefill": bench_prefill_matmul,
     "gemv": bench_gemv,
     "mlp": bench_mlp,
     "attention": bench_decode_attention,
+    "argmax": bench_argmax_gemv,
 }
 
 
