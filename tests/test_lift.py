@@ -130,3 +130,113 @@ def test_backend_for_model_lifts_and_falls_back(rng):
     g2.add_constant("mystery.weight", np.zeros((4, 4), np.float32))
     be2 = backend_for_model(FakeModel(g2))
     assert isinstance(be2, GraphBackend)
+
+
+def _whisper_state(rng, d=32, ff=64, vocab=64, mels=8, enc_l=1, dec_l=2,
+                   audio_ctx=20, text_ctx=32):
+    st = {
+        "model.encoder.conv1.weight": rng.standard_normal((d, mels, 3)).astype(np.float32) * 0.1,
+        "model.encoder.conv1.bias": np.zeros(d, np.float32),
+        "model.encoder.conv2.weight": rng.standard_normal((d, d, 3)).astype(np.float32) * 0.1,
+        "model.encoder.conv2.bias": np.zeros(d, np.float32),
+        "model.encoder.embed_positions.weight": rng.standard_normal((audio_ctx, d)).astype(np.float32),
+        "model.encoder.layer_norm.weight": np.ones(d, np.float32),
+        "model.encoder.layer_norm.bias": np.zeros(d, np.float32),
+        "model.decoder.embed_tokens.weight": rng.standard_normal((vocab, d)).astype(np.float32) * 0.1,
+        "model.decoder.embed_positions.weight": rng.standard_normal((text_ctx, d)).astype(np.float32) * 0.1,
+        "model.decoder.layer_norm.weight": np.ones(d, np.float32),
+        "model.decoder.layer_norm.bias": np.zeros(d, np.float32),
+    }
+
+    def attn(p):
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            st[p + proj + ".weight"] = rng.standard_normal((d, d)).astype(np.float32) * 0.1
+            if proj != "k_proj":
+                st[p + proj + ".bias"] = np.zeros(d, np.float32)
+
+    def block(p, cross):
+        st[p + "self_attn_layer_norm.weight"] = np.ones(d, np.float32)
+        st[p + "self_attn_layer_norm.bias"] = np.zeros(d, np.float32)
+        attn(p + "self_attn.")
+        if cross:
+            st[p + "encoder_attn_layer_norm.weight"] = np.ones(d, np.float32)
+            st[p + "encoder_attn_layer_norm.bias"] = np.zeros(d, np.float32)
+            attn(p + "encoder_attn.")
+        st[p + "final_layer_norm.weight"] = np.ones(d, np.float32)
+        st[p + "final_layer_norm.bias"] = np.zeros(d, np.float32)
+        st[p + "fc1.weight"] = rng.standard_normal((ff, d)).astype(np.float32) * 0.1
+        st[p + "fc1.bias"] = np.zeros(ff, np.float32)
+        st[p + "fc2.weight"] = rng.standard_normal((d, ff)).astype(np.float32) * 0.1
+        st[p + "fc2.bias"] = np.zeros(d, np.float32)
+
+    for i in range(enc_l):
+        block(f"model.encoder.layers.{i}.", cross=False)
+    for i in range(dec_l):
+        block(f"model.decoder.layers.{i}.", cross=True)
+    return st
+
+
+def test_lift_encoder_decoder_matches_direct_import(rng):
+    from rten_tpu.models import encoder_decoder as ed
+    from rten_tpu.models.lift import lift_encoder_decoder
+
+    st = _whisper_state(rng)
+    graph = Graph()
+    for name, arr in st.items():
+        graph.add_constant(name, arr)
+    graph.add_constant("reshape_shape", np.asarray([0, -1, 2, 16], np.int64))
+
+    cfg, params = lift_encoder_decoder(graph)
+    assert (cfg.n_audio_layers, cfg.n_text_layers) == (1, 2)
+    assert (cfg.d_model, cfg.n_heads, cfg.n_mels) == (32, 2, 8)
+    assert (cfg.n_audio_ctx, cfg.max_text_ctx, cfg.vocab_size) == (20, 32, 64)
+
+    # equals the direct importer's params end to end
+    ref_params = ed.from_hf_whisper(st, cfg, jnp.float32)
+    mel = jnp.asarray(rng.standard_normal((1, 8, 40)).astype(np.float32))
+    enc_a = ed.encode(params, cfg, mel)
+    enc_b = ed.encode(ref_params, cfg, mel)
+    np.testing.assert_allclose(np.asarray(enc_a), np.asarray(enc_b), atol=1e-6)
+
+    ids = jnp.asarray(rng.integers(0, 64, (1, 4)).astype(np.int32))
+    sa = ed.init_decoder_state(params, cfg, enc_a)
+    sb = ed.init_decoder_state(ref_params, cfg, enc_b)
+    la, _ = ed.decode(params, cfg, ids, sa, use_flash=False)
+    lb, _ = ed.decode(ref_params, cfg, ids, sb, use_flash=False)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
+
+
+def test_lift_encoder_decoder_split_graphs_and_errors(rng):
+    from rten_tpu.models.lift import lift_encoder_decoder
+
+    st = _whisper_state(rng)
+    enc = {k: v for k, v in st.items() if "encoder" in k}
+    dec = {k: v for k, v in st.items() if "decoder" in k}
+    cfg, params = lift_encoder_decoder(enc, dec, n_heads=2)
+    assert cfg.n_heads == 2 and len(params["dec_layers"]) == 2
+
+    with pytest.raises(LiftError):
+        lift_encoder_decoder({"not_whisper.weight": np.zeros((2, 2), np.float32)})
+
+
+def test_backend_for_model_lifts_encoder_decoder(rng):
+    """A whisper-named graph resolves to an EncDecBackend factory (the
+    backend needs the per-utterance audio features, so backend_for_model
+    hands back a constructor carrying cfg/params)."""
+    import itertools
+
+    from rten_tpu.generate import Generator, GeneratorConfig
+    from rten_tpu.generate.generator import EncDecBackend, backend_for_model
+
+    st = _whisper_state(rng)
+    graph = Graph()
+    for name, arr in st.items():
+        graph.add_constant(name, arr)
+
+    make = backend_for_model(graph, n_heads=2)
+    assert callable(make) and make.cfg.n_text_layers == 2
+    mel = rng.standard_normal((1, 8, 40)).astype(np.float32)
+    backend = make(mel)
+    assert isinstance(backend, EncDecBackend)
+    gen = Generator(backend, GeneratorConfig(max_tokens=4)).with_prompt([1])
+    assert len([int(t[0]) for t in itertools.islice(gen, 4)]) == 4
