@@ -60,6 +60,38 @@ def main() -> None:
 
     from rten_tpu.models import decoder
 
+    # Tunnel watchdog: device init through the shared tunnel has been
+    # observed to hang indefinitely during outages (15+ min with no
+    # progress). Emit an honest error artifact instead of timing out with
+    # no JSON line at all — the driver records the line either way.
+    import threading
+
+    init_done = threading.Event()
+    watchdog_s = float(os.environ.get("RTEN_BENCH_INIT_TIMEOUT_S", "600"))
+
+    def _watchdog():
+        if not init_done.wait(watchdog_s):
+            print(
+                json.dumps(
+                    {
+                        "metric": "decode_tokens_per_s_gpt2s_int8(bs1)",
+                        "value": 0.0,
+                        "unit": "tokens/s",
+                        "vs_baseline": 0.0,
+                        "detail": {
+                            "error": f"TPU device init exceeded {watchdog_s:.0f}s "
+                            "(tunnel outage) — no measurement possible",
+                        },
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    jax.devices()  # force backend init under the watchdog
+    init_done.set()
+
     budget_s = float(os.environ.get("RTEN_BENCH_BUDGET_S", "300"))
     bench_t0 = time.perf_counter()
 
