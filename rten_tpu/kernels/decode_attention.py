@@ -39,6 +39,7 @@ carry copies) versus ~0 here.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -285,6 +286,253 @@ def _decode_attn_kernel(
         _row_copy(1, v_hbm, True).wait()
 
 
+def _decode_attn_kernel_batched(
+    # scalar prefetch
+    kv_len_ref,  # [B] SMEM
+    # inputs
+    q_ref,  # [B, Hk, Gp, 128] VMEM (lanes :D) — or None with pk_ref
+    k_hbm,  # [B, Hk, S*D/128, 128] ANY (aliased as output)
+    v_hbm,
+    kn_ref,  # [B, Hk, 8, 128] VMEM (row 0, lanes :D) or None
+    vn_ref,
+    pk_ref,  # [B, 3, Hk, 8, 128] VMEM or None
+    wo_ref,  # [Hk, G·D, Dm] int8 or None
+    wos_ref,
+    wob_ref,
+    res_ref,  # [B, Dm] or None
+    # outputs
+    o_ref,  # [B, Dm] (fused wo) or [B, Hk, Gp, 128]
+    # scratch
+    k_buf,  # [2, B, Hk, rows_per_block, 128]
+    v_buf,
+    sem,  # [2, 2]
+    row_buf,  # [2, B, Hk, 8, 128] or None
+    row_sem,  # [2, B] or None
+    *,
+    n_batch: int,
+    block_s: int,
+    rows_per_block: int,
+    d: int,
+    group: int,
+    sm_scale: float,
+):
+    """Single-grid-cell BATCHED decode attention: one strided DMA pair per
+    cache block covers every batch row at once instead of a grid cell (and
+    its own DMA chain) per row — at batch 8 the per-row fixed costs
+    (exposed block-0 latency, RMW round trips, per-cell epilogues) collapse
+    to one. Rows shorter than the longest read extra masked blocks; serving
+    slots have similar lengths, so the waste is small against the saved
+    fixed costs. Math is identical to _decode_attn_kernel with the online
+    softmax batched over (batch·Hk)."""
+    B = n_batch
+    f = _LANES // d
+    if pk_ref is not None:
+        hk = pk_ref.shape[2]
+        gp = pk_ref.shape[3]
+    else:
+        hk = q_ref.shape[1]
+        gp = q_ref.shape[2]
+    bh = B * hk
+    has_new = kn_ref is not None or pk_ref is not None
+
+    # Per-row valid lengths (static unroll — B is small) and their max.
+    lens = [kv_len_ref[bi] for bi in range(B)]
+    max_len = lens[0]
+    for ln in lens[1:]:
+        max_len = jnp.maximum(max_len, ln)
+    lengths = jnp.stack(lens)  # [B]
+    n_blocks = pl.cdiv(max_len, block_s)
+
+    def dma(buf_slot, blk_idx):
+        row0 = blk_idx * rows_per_block
+        kc = pltpu.make_async_copy(
+            k_hbm.at[:, :, pl.ds(row0, rows_per_block), :],
+            k_buf.at[buf_slot],
+            sem.at[buf_slot, 0],
+        )
+        vc = pltpu.make_async_copy(
+            v_hbm.at[:, :, pl.ds(row0, rows_per_block), :],
+            v_buf.at[buf_slot],
+            sem.at[buf_slot, 1],
+        )
+        return kc, vc
+
+    @pl.when(n_blocks > 0)
+    def _warmup():
+        kc0, vc0 = dma(0, 0)
+        kc0.start()
+        vc0.start()
+
+    def _new_tok(which):  # [B, Hk, 1, D]
+        if pk_ref is not None:
+            return pk_ref[:, 1 + which, :, 0:1, :d]
+        return (kn_ref if which == 0 else vn_ref)[:, :, 0:1, :d]
+
+    if has_new:
+        # Per-row RMW append: each row's 8-row window differs, so B
+        # separate row DMAs per direction — all reads start together,
+        # write completion deferred to kernel exit (same choreography as
+        # the per-cell kernel, just B-wide).
+        rows_of = [(ln * d) // _LANES for ln in lens]
+        row8s = [(r // 8) * 8 for r in rows_of]
+
+        def _row_copy(which, bi, hbm, to_hbm: bool):
+            args = (
+                row_buf.at[which, bi],
+                hbm.at[bi, :, pl.ds(row8s[bi], 8), :],
+            )
+            src, dst = (args if to_hbm else args[::-1])
+            return pltpu.make_async_copy(src, dst, row_sem.at[which, bi])
+
+        for bi in range(B):
+            _row_copy(0, bi, k_hbm, False).start()
+            _row_copy(1, bi, v_hbm, False).start()
+
+        local = jnp.stack([r - r8 for r, r8 in zip(rows_of, row8s)])  # [B]
+        sub = jax.lax.rem(lengths, f)  # [B]
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (B, hk, 8, _LANES), 2)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, hk, 8, _LANES), 3)
+        hit = jnp.logical_and(
+            rowi == local[:, None, None, None],
+            lane // d == sub[:, None, None, None],
+        )
+
+        def _merge(which):
+            old = row_buf[which]  # [B, Hk, 8, 128]
+            new = _new_tok(which)  # [B, Hk, 1, D]
+            tiled = jnp.concatenate([new] * f, axis=-1) if f > 1 else new
+            row_buf[which] = jnp.where(hit, tiled.astype(old.dtype), old)
+
+        for bi in range(B):
+            _row_copy(0, bi, k_hbm, False).wait()
+        _merge(0)
+        for bi in range(B):
+            _row_copy(0, bi, k_hbm, True).start()
+            _row_copy(1, bi, v_hbm, False).wait()
+        _merge(1)
+        for bi in range(B):
+            _row_copy(1, bi, v_hbm, True).start()
+
+    q4 = (pk_ref[:, 0] if pk_ref is not None else q_ref[...])[:, :, :, :d]
+    q = q4.reshape(bh, gp, d).astype(jnp.float32)  # [BH, Gp, D]
+    lengths_bh = jnp.broadcast_to(lengths[:, None], (B, hk)).reshape(bh)
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        slot = jax.lax.rem(i, 2)
+        next_slot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_blocks)
+        def _prefetch():
+            kn, vn = dma(next_slot, i + 1)
+            kn.start()
+            vn.start()
+
+        kw, vw = dma(slot, i)
+        kw.wait()
+        k = k_buf[slot].reshape(bh, rows_per_block, _LANES).astype(jnp.float32)
+
+        base = i * block_s
+        row_tok = (
+            jax.lax.broadcasted_iota(jnp.int32, (bh, gp, rows_per_block), 2) * f
+        )
+        s_parts = []
+        for j in range(f):
+            kj = k[:, :, j * d : (j + 1) * d]  # [BH, rpb, D]
+            s = jax.lax.dot_general(
+                q,
+                kj,
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [BH, Gp, rpb]
+            if sm_scale != 1.0:
+                s = s * sm_scale
+            s = jnp.where(
+                base + row_tok + j < lengths_bh[:, None, None],
+                s,
+                DEFAULT_MASK_VALUE,
+            )
+            s_parts.append(s)
+
+        m_curr = s_parts[0].max(axis=2, keepdims=True)
+        for s in s_parts[1:]:
+            m_curr = jnp.maximum(m_curr, s.max(axis=2, keepdims=True))
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+
+        vw.wait()
+        v = v_buf[slot].reshape(bh, rows_per_block, _LANES).astype(jnp.float32)
+
+        l_curr = jnp.zeros_like(l_prev)
+        pv = jnp.zeros_like(acc)
+        for j, s in enumerate(s_parts):
+            p = jnp.exp(s - m_next)
+            l_curr = l_curr + jnp.sum(p, axis=2, keepdims=True)
+            pv = pv + jax.lax.dot_general(
+                p,
+                v[:, :, j * d : (j + 1) * d],
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        l_next = alpha * l_prev + l_curr
+        acc = acc * alpha + pv
+        return m_next, l_next, acc
+
+    if has_new:
+        k_new = _new_tok(0).reshape(bh, 1, d).astype(jnp.float32)
+        s_new = jax.lax.dot_general(
+            q, k_new, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [BH, Gp, 1]
+        if sm_scale != 1.0:
+            s_new = s_new * sm_scale
+        init = (
+            s_new,
+            jnp.ones((bh, gp, 1), jnp.float32),
+            jnp.broadcast_to(
+                _new_tok(1).reshape(bh, 1, d).astype(jnp.float32), (bh, gp, d)
+            ),
+        )
+    else:
+        init = (
+            jnp.full((bh, gp, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((bh, gp, 1), jnp.float32),
+            jnp.zeros((bh, gp, d), jnp.float32),
+        )
+    m_fin, l_fin, acc = jax.lax.fori_loop(0, n_blocks, body, init)
+    l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+    final = acc * l_inv  # [BH, Gp, D] f32
+    if wo_ref is None:
+        out = final.reshape(B, hk, gp, d)
+        if d < _LANES:
+            out = jnp.concatenate(
+                [out] + [jnp.zeros_like(out)] * (_LANES // d - 1), axis=-1
+            )
+        o_ref[...] = out.astype(o_ref.dtype)
+    else:
+        # attn [BH, Gp, D] → [B, Hk, G·D]; one batched dot against the
+        # shared per-head W_o slabs (lhs batch dim 1 ↔ rhs batch dim 0),
+        # summed over heads.
+        attn = final[:, :group, :].reshape(B, hk, group * d)
+        part = jax.lax.dot_general(
+            attn,
+            wo_ref[...].astype(jnp.float32),
+            (((2,), (1,)), ((1,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [Hk, B, Dm]
+        out = jnp.sum(part, axis=0) * wos_ref[...].astype(jnp.float32)
+        if wob_ref is not None:
+            out = out + wob_ref[...].astype(jnp.float32)
+        if res_ref is not None:
+            out = out + res_ref[...].astype(jnp.float32)
+        o_ref[...] = out.astype(o_ref.dtype)
+    if has_new:
+        for bi in range(B):
+            _row_copy(0, bi, k_hbm, True).wait()
+            _row_copy(1, bi, v_hbm, True).wait()
+
+
+
 def decode_attention_supported(head_dim: int, s_max: int, block_s: int = 256) -> bool:
     bs = min(block_s, s_max)
     return (
@@ -395,6 +643,25 @@ def decode_attention(
     # STATUS.md tracks); a 128-minor operand keeps row-major end to end
     # and the kernel just lane-slices [..., :d].
     lane_pad = _LANES - d
+    # Batched single-cell mode (serving batches): every batch row handled
+    # in ONE grid cell with strided [B, ...] DMAs — per-row fixed costs
+    # (exposed block-0 latency, RMW round trips) collapse to one. Opt-in
+    # via RTEN_BATCHED_ATTN=1 pending TPU validation.
+    batched = b > 1 and os.environ.get("RTEN_BATCHED_ATTN", "0") == "1"
+    if batched:
+        # Shrink the cache block so the [2, B, Hk, rpb, 128] double buffers
+        # stay within a ~24 MB VMEM budget; must keep dividing s_max.
+        bytes_per = k_cache.dtype.itemsize
+        while (
+            2 * 2 * b * hk * rows_per_block * _LANES * bytes_per > 24 << 20
+            and block_s % 2 == 0
+            and s_max % (block_s // 2) == 0
+            and ((block_s // 2) * d) % _LANES == 0
+        ):
+            block_s //= 2
+            rows_per_block = block_s * d // _LANES
+    lead = b if batched else 1
+    _ix = (lambda bi: 0) if batched else (lambda bi: bi)
     if packed:
         if gp_in == 1:
             packed_qkv = jnp.pad(
@@ -405,7 +672,9 @@ def decode_attention(
                 packed_qkv, ((0, 0), (0, 0), (0, 0), (0, 0), (0, lane_pad))
             )
         in_specs = [
-            pl.BlockSpec((1, 3, hk, gp, _LANES), lambda bi, *_: (bi, 0, 0, 0, 0)),
+            pl.BlockSpec(
+                (lead, 3, hk, gp, _LANES), lambda bi, *_: (_ix(bi), 0, 0, 0, 0)
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
@@ -419,42 +688,61 @@ def decode_attention(
                 qg, ((0, 0), (0, 0), (0, gp - group), (0, lane_pad))
             )
         in_specs = [
-            pl.BlockSpec((1, hk, gp, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec(
+                (lead, hk, gp, _LANES), lambda bi, *_: (_ix(bi), 0, 0, 0)
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
         args = [kv_len, qg, kf, vf]
-    scratch = [
-        pltpu.VMEM((2, hk, rows_per_block, _LANES), k_cache.dtype),
-        pltpu.VMEM((2, hk, rows_per_block, _LANES), v_cache.dtype),
-        pltpu.SemaphoreType.DMA((2, 2)),
-    ]
+    if batched:
+        scratch = [
+            pltpu.VMEM((2, b, hk, rows_per_block, _LANES), k_cache.dtype),
+            pltpu.VMEM((2, b, hk, rows_per_block, _LANES), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((2, hk, rows_per_block, _LANES), k_cache.dtype),
+            pltpu.VMEM((2, hk, rows_per_block, _LANES), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
     out_dtype = packed_qkv.dtype if packed else q.dtype
     fused_wo = wo_q is not None
     if fused_wo:
         dm = wo_q.shape[1]
         assert wo_q.shape[0] == h * d, (wo_q.shape, h, d)
         attn_out_shape = jax.ShapeDtypeStruct((b, dm), out_dtype)
-        attn_out_spec = pl.BlockSpec((1, dm), lambda bi, *_: (bi, 0))
+        attn_out_spec = pl.BlockSpec((lead, dm), lambda bi, *_: (_ix(bi), 0))
     else:
         attn_out_shape = jax.ShapeDtypeStruct((b, hk, gp, _LANES), out_dtype)
         attn_out_spec = pl.BlockSpec(
-            (1, hk, gp, _LANES), lambda bi, *_: (bi, 0, 0, 0)
+            (lead, hk, gp, _LANES), lambda bi, *_: (_ix(bi), 0, 0, 0)
         )
 
     if fused_write and not packed:
         knp = jnp.pad(k_new, ((0, 0), (0, 0), (0, 7), (0, lane_pad)))
         vnp = jnp.pad(v_new, ((0, 0), (0, 0), (0, 7), (0, lane_pad)))
         in_specs += [
-            pl.BlockSpec((1, hk, 8, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, hk, 8, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec(
+                (lead, hk, 8, _LANES), lambda bi, *_: (_ix(bi), 0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (lead, hk, 8, _LANES), lambda bi, *_: (_ix(bi), 0, 0, 0)
+            ),
         ]
         args += [knp, vnp]
     if fused_write:
-        scratch += [
-            pltpu.VMEM((2, hk, 8, _LANES), k_cache.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ]
+        if batched:
+            scratch += [
+                pltpu.VMEM((2, b, hk, 8, _LANES), k_cache.dtype),
+                pltpu.SemaphoreType.DMA((2, b)),
+            ]
+        else:
+            scratch += [
+                pltpu.VMEM((2, hk, 8, _LANES), k_cache.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
 
     wo_have = []
     if fused_wo:
@@ -468,7 +756,9 @@ def decode_attention(
             wo_have.append("wob")
         if residual is not None:
             args.append(residual.reshape(b, dm))
-            in_specs.append(pl.BlockSpec((1, dm), lambda bi, *_: (bi, 0)))
+            in_specs.append(
+                pl.BlockSpec((lead, dm), lambda bi, *_: (_ix(bi), 0))
+            )
             wo_have.append("res")
 
     if fused_write:
@@ -514,36 +804,28 @@ def decode_attention(
             o_ref = rest.pop(0)
             k_buf, v_buf, sem_ = rest
             k_tgt, v_tgt = k_hbm, v_hbm
-        _decode_attn_kernel(
-            kv_len_ref,
-            q_ref,
-            k_tgt,
-            v_tgt,
-            kn_ref,
-            vn_ref,
-            pk_ref,
-            wo_ref,
-            wos_ref,
-            wob_ref,
-            res_ref,
-            o_ref,
-            k_buf,
-            v_buf,
-            sem_,
-            row_buf,
-            row_sem,
-            block_s=block_s,
-            rows_per_block=rows_per_block,
-            d=d,
-            group=group,
-            sm_scale=sm_scale,
-        )
+        if batched:
+            _decode_attn_kernel_batched(
+                kv_len_ref, q_ref, k_tgt, v_tgt, kn_ref, vn_ref, pk_ref,
+                wo_ref, wos_ref, wob_ref, res_ref, o_ref,
+                k_buf, v_buf, sem_, row_buf, row_sem,
+                n_batch=b, block_s=block_s, rows_per_block=rows_per_block,
+                d=d, group=group, sm_scale=sm_scale,
+            )
+        else:
+            _decode_attn_kernel(
+                kv_len_ref, q_ref, k_tgt, v_tgt, kn_ref, vn_ref, pk_ref,
+                wo_ref, wos_ref, wob_ref, res_ref, o_ref,
+                k_buf, v_buf, sem_, row_buf, row_sem,
+                block_s=block_s, rows_per_block=rows_per_block,
+                d=d, group=group, sm_scale=sm_scale,
+            )
 
     res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b,),
+            grid=(1,) if batched else (b,),
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=scratch,
@@ -551,7 +833,7 @@ def decode_attention(
         out_shape=out_shape,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("arbitrary",) if batched else ("parallel",),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s_max * d,

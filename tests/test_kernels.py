@@ -516,7 +516,7 @@ def test_quant_matmul_int8_pipelined_parity(rng, monkeypatch):
     conversion overlapped with the previous dot); results must be identical
     across multiple K blocks, with and without bias/activation."""
     monkeypatch.setenv("RTEN_PREFILL_PIPE", "1")
-    quant_matmul_int8._clear_cache()
+    jax.clear_caches()  # flag read at trace time; drop the jaxpr cache too
     try:
         x = rng.standard_normal((32, 512)).astype(np.float32)
         w = rng.standard_normal((512, 64)).astype(np.float32)
@@ -539,7 +539,7 @@ def test_quant_matmul_int8_pipelined_parity(rng, monkeypatch):
         )
         np.testing.assert_allclose(np.asarray(out_1), ref, rtol=1e-4, atol=1e-3)
     finally:
-        quant_matmul_int8._clear_cache()
+        jax.clear_caches()
 
 
 def test_quant_gemv_argmax_fused(rng):
@@ -577,3 +577,76 @@ def test_quant_gemv_argmax_fused(rng):
     refb = (xb @ (w_q.astype(np.float32) * s))[:, :vocab].argmax(-1)
     outb = quant_gemv_int8(xb, w_q, s, argmax_n=vocab, block_n=256, interpret=True)
     np.testing.assert_array_equal(np.asarray(outb), refb)
+
+
+def test_decode_attention_batched_matches_per_cell(rng, monkeypatch):
+    """RTEN_BATCHED_ATTN=1 processes every batch row in ONE grid cell
+    (strided DMAs, (b·h)-batched online softmax); outputs and in-place
+    cache writes must match the per-cell grid kernel exactly — unequal
+    per-row lengths included."""
+    from rten_tpu.kernels.decode_attention import decode_attention
+
+    b, h, hk, s, d = 4, 4, 2, 512, 64
+    q = rng.standard_normal((b, h, 1, d)).astype(np.float32) * 0.3
+    kc = rng.standard_normal((b, hk, s, d)).astype(np.float32) * 0.3
+    vc = rng.standard_normal((b, hk, s, d)).astype(np.float32)
+    kn = rng.standard_normal((b, hk, 1, d)).astype(np.float32) * 0.3
+    vn = rng.standard_normal((b, hk, 1, d)).astype(np.float32)
+    lens = np.array([0, 77, 256, 511], np.int32)
+
+    def run(flag):
+        monkeypatch.setenv("RTEN_BATCHED_ATTN", flag)
+        # the env flag is read at trace time: drop BOTH the compilation
+        # cache and the jaxpr trace cache or the toggle is invisible
+        jax.clear_caches()
+        return decode_attention(
+            jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc),
+            jnp.asarray(lens), jnp.asarray(kn), jnp.asarray(vn),
+            block_s=128, interpret=True,
+        )
+
+    try:
+        o0, k0, v0 = run("0")
+        o1, k1, v1 = run("1")
+    finally:
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k0))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), rtol=1e-5, atol=1e-5)
+
+
+def test_decode_attention_batched_packed_wo(rng, monkeypatch):
+    """Batched mode composes with the packed-qkv operand + fused W_o
+    (the serving decode configuration)."""
+    from rten_tpu.kernels.decode_attention import decode_attention
+    from rten_tpu.kernels.quant_matmul import quantize_weights_int8
+
+    b, h, s, d, dm = 8, 2, 256, 64, 128
+    hk = h
+    qkv = rng.standard_normal((b, 3, hk, 1, d)).astype(np.float32) * 0.3
+    kc = rng.standard_normal((b, hk, s, d)).astype(np.float32) * 0.3
+    vc = rng.standard_normal((b, hk, s, d)).astype(np.float32)
+    lens = (rng.integers(0, s - 1, b)).astype(np.int32)
+    wo = rng.standard_normal((h * d, dm)).astype(np.float32) * 0.1
+    wo_q, wo_s = quantize_weights_int8(wo, axis=-1)
+    bias = rng.standard_normal(dm).astype(np.float32) * 0.1
+    resid = rng.standard_normal((b, dm)).astype(np.float32)
+
+    def run(flag):
+        monkeypatch.setenv("RTEN_BATCHED_ATTN", flag)
+        jax.clear_caches()  # see test above: the flag is read at trace time
+        return decode_attention(
+            None, jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(lens),
+            None, None, jnp.asarray(wo_q), jnp.asarray(wo_s),
+            jnp.asarray(bias), jnp.asarray(resid),
+            packed_qkv=jnp.asarray(qkv), block_s=128, interpret=True,
+        )
+
+    try:
+        o0, k0, v0 = run("0")
+        o1, k1, v1 = run("1")
+    finally:
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k0))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), rtol=1e-4, atol=1e-4)
