@@ -40,61 +40,25 @@ def quantize_weights_int8(w, axis: int = -1):
     return q, np.squeeze(scales, axis=reduce_axes).astype(np.float32)
 
 
-def _gemv_kernel(
-    x_ref,
-    w_ref,
-    s_ref,
-    b_ref,
-    ns_ref,
-    nb_ref,
-    r_ref,
-    o_ref,
-    xn_scr,
-    amax_scr=None,  # [M, 128] f32 — running max (argmax mode)
-    aarg_scr=None,  # [M, 128] int32 — running argmax
-    *,
-    activation,
-    norm,
-    norm_eps,
-    argmax_n=None,
-):
-    # Whole-K tile: no accumulator loop. The int8→f32 conversion feeds the
-    # MXU directly; at M=8 the matmul is trivially cheap and the kernel is
-    # bound by the int8 weight stream from HBM.
-    if norm is not None:
-        # Fused pre-norm: the cross-lane row statistics are computed ONCE on
-        # the first N-stripe and cached in VMEM scratch (lane reductions are
-        # the slow VPU direction — recomputing per stripe serializes with the
-        # weight stream). Saves an entire XLA kernel + HBM round trip of the
-        # normalized activations. Requires sequential grid ("arbitrary").
-        @pl.when(pl.program_id(0) == 0)
-        def _compute_norm():
-            x = x_ref[...].astype(jnp.float32)
-            if norm == "rmsnorm":
-                inv = jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + norm_eps)
-                x = x * inv
-            else:
-                mean = jnp.mean(x, -1, keepdims=True)
-                xc = x - mean
-                var = jnp.mean(xc * xc, -1, keepdims=True)
-                x = xc * jax.lax.rsqrt(var + norm_eps)
-            x = x * ns_ref[...].astype(jnp.float32)
-            if nb_ref is not None:
-                x = x + nb_ref[...].astype(jnp.float32)
-            xn_scr[...] = x
-
-        x = xn_scr[...]
+def _normalize_rows(x, norm, norm_eps, ns_ref, nb_ref):
+    """Fused pre-norm on the full [M, K] activation rows (f32)."""
+    if norm == "rmsnorm":
+        x = x * jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + norm_eps)
     else:
-        x = x_ref[...].astype(jnp.float32)
-    # MXU dtype: when the model's activations are bf16 anyway, run the dot
-    # in bf16 (int8 weight values are exactly representable in bf16, so
-    # only x's rounding is at stake — information the bf16 model never had).
-    # f32 dots run the MXU at 1/6 rate and stop hiding under the weight DMA
-    # on wide stripes.
-    dot_dtype = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
-    w = w_ref[...].astype(dot_dtype)
-    acc = jnp.dot(x.astype(dot_dtype), w, preferred_element_type=jnp.float32)
-    out = acc * s_ref[...]
+        mean = jnp.mean(x, -1, keepdims=True)
+        xc = x - mean
+        x = xc * jax.lax.rsqrt(jnp.mean(xc * xc, -1, keepdims=True) + norm_eps)
+    x = x * ns_ref[...].astype(jnp.float32)
+    if nb_ref is not None:
+        x = x + nb_ref[...].astype(jnp.float32)
+    return x
+
+
+def _gemv_epilogue(
+    out, j, b_ref, r_ref, o_ref, amax_scr, aarg_scr, *, activation, argmax_n
+):
+    """Shared stripe epilogue: bias/activation/residual writeback, or the
+    fused running-argmax reduction (see quant_gemv_int8 docstring)."""
     if b_ref is not None:
         out = out + b_ref[...].astype(jnp.float32)
     out = _ACTIVATIONS[activation](out)
@@ -103,12 +67,6 @@ def _gemv_kernel(
     if argmax_n is None:
         o_ref[...] = out.astype(o_ref.dtype)
         return
-    # Fused argmax epilogue (the greedy-decode sampler): track the running
-    # (max, argmax) across N stripes in VMEM scratch and emit ONE int32 per
-    # row — the full logits row never round-trips through HBM and the XLA
-    # slice+convert+argmax fusion disappears from the decode step. First
-    # occurrence wins on ties, matching jnp.argmax.
-    j = pl.program_id(0)
     mp, bn = out.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (mp, bn), 1) + j * bn
     outm = jnp.where(col < argmax_n, out, -3.389e38)  # mask pad + tail cols
@@ -138,11 +96,120 @@ def _gemv_kernel(
         o_ref[...] = aarg_scr[...]
 
 
+def _gemv_kernel(
+    x_ref,
+    w_ref,
+    s_ref,
+    b_ref,
+    ns_ref,
+    nb_ref,
+    r_ref,
+    o_ref,
+    xn_scr,
+    amax_scr=None,  # [M, 128] f32 — running max (argmax mode)
+    aarg_scr=None,  # [M, 128] int32 — running argmax
+    *,
+    activation,
+    norm,
+    norm_eps,
+    argmax_n=None,
+):
+    # Whole-K tile: no accumulator loop. The int8→f32 conversion feeds the
+    # MXU directly; at M=8 the matmul is trivially cheap and the kernel is
+    # bound by the int8 weight stream from HBM.
+    if norm is not None:
+        # Fused pre-norm: the cross-lane row statistics are computed ONCE on
+        # the first N-stripe and cached in VMEM scratch (lane reductions are
+        # the slow VPU direction — recomputing per stripe serializes with the
+        # weight stream). Saves an entire XLA kernel + HBM round trip of the
+        # normalized activations. Requires sequential grid ("arbitrary").
+        @pl.when(pl.program_id(0) == 0)
+        def _compute_norm():
+            xn_scr[...] = _normalize_rows(
+                x_ref[...].astype(jnp.float32), norm, norm_eps, ns_ref, nb_ref
+            )
+
+        x = xn_scr[...]
+    else:
+        x = x_ref[...].astype(jnp.float32)
+    # MXU dtype: when the model's activations are bf16 anyway, run the dot
+    # in bf16 (int8 weight values are exactly representable in bf16, so
+    # only x's rounding is at stake — information the bf16 model never had).
+    # f32 dots run the MXU at 1/6 rate and stop hiding under the weight DMA
+    # on wide stripes.
+    dot_dtype = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
+    w = w_ref[...].astype(dot_dtype)
+    acc = jnp.dot(x.astype(dot_dtype), w, preferred_element_type=jnp.float32)
+    out = acc * s_ref[...]
+    _gemv_epilogue(
+        out, pl.program_id(0), b_ref, r_ref, o_ref, amax_scr, aarg_scr,
+        activation=activation, argmax_n=argmax_n,
+    )
+
+
+def _gemv_kernel_kblocked(
+    x_ref,   # [M, K] full (norm stats + tile cache source)
+    w_ref,   # [BK, BN] weight tile
+    s_ref,   # [1, BN]
+    b_ref,
+    ns_ref,  # [1, K] full or None
+    nb_ref,
+    r_ref,   # [M, BN] or None
+    o_ref,   # [M, BN] (or [M, 128] int32 in argmax mode)
+    xn_scr,  # [n_k, M, BK] f32 — x cached per K-tile on the first step
+    acc_ref,  # [M, BN] f32
+    amax_scr=None,
+    aarg_scr=None,
+    *,
+    activation,
+    norm,
+    norm_eps,
+    argmax_n=None,
+    n_k,
+    bk,
+):
+    """K-blocked GEMV: streams the int8 matrix in [block_k, block_n] tiles.
+    The DMA rate through a BlockSpec pipeline is geometry-dependent
+    (measured ~830 GB/s at 256-row × 4096-wide int8 stripes vs ~720-750
+    for tall whole-K stripes — CLAUDE.md measurement notes), so shorter,
+    wider tiles lift the weight stream this kernel is bound by. x is
+    normalized once and cached per K-tile ([n_k, M, BK] scratch, static
+    lane slices in, traced leading-dim index out)."""
+    j = pl.program_id(0)
+    kk = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(j == 0, kk == 0))
+    def _prep():
+        x = x_ref[...].astype(jnp.float32)
+        if norm is not None:
+            x = _normalize_rows(x, norm, norm_eps, ns_ref, nb_ref)
+        for t in range(n_k):  # static lane slices → per-tile scratch rows
+            xn_scr[t] = x[:, t * bk : (t + 1) * bk]
+
+    @pl.when(kk == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    dot_dtype = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
+    w = w_ref[...].astype(jnp.float32).astype(dot_dtype)
+    acc_ref[...] += jnp.dot(
+        xn_scr[kk].astype(dot_dtype), w, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kk == n_k - 1)
+    def _finish():
+        out = acc_ref[...] * s_ref[...]
+        _gemv_epilogue(
+            out, j, b_ref, r_ref, o_ref, amax_scr, aarg_scr,
+            activation=activation, argmax_n=argmax_n,
+        )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "activation", "norm", "norm_eps", "block_n", "out_dtype", "argmax_n",
-        "interpret",
+        "activation", "norm", "norm_eps", "block_n", "block_k", "out_dtype",
+        "argmax_n", "interpret",
     ),
 )
 def quant_gemv_int8(
@@ -158,6 +225,7 @@ def quant_gemv_int8(
     norm_eps: float = 1e-5,
     residual=None,  # [M, N] added after activation (fused epilogue)
     block_n: int = 1024,  # same-process A/B: bf16@1024 ≈ 748 GB/s beats 2048
+    block_k: int | None = None,  # [block_k, block_n] weight tiles; None = whole K
     out_dtype=None,
     argmax_n: int | None = None,  # fused greedy sampler: return int32 [M]
     interpret: bool = False,
@@ -190,31 +258,54 @@ def quant_gemv_int8(
     sp = _pad_to(scales.reshape(1, -1), bn, 1)
     np_ = wp.shape[1]
 
-    in_specs = [
-        pl.BlockSpec((mp, k), lambda j: (0, 0)),
-        pl.BlockSpec((k, bn), lambda j: (0, j)),
-        pl.BlockSpec((1, bn), lambda j: (0, j)),
-    ]
+    # K-blocking: [block_k, block_n] weight tiles when block_k divides K
+    # (shorter, wider DMA stripes run closer to the HBM ceiling — see
+    # _gemv_kernel_kblocked). Whole-K otherwise.
+    kb = block_k if (block_k and k % block_k == 0 and k > block_k) else None
+    n_k = (k // kb) if kb else 1
+    if kb:
+        in_specs = [
+            pl.BlockSpec((mp, k), lambda j, kk: (0, 0)),
+            pl.BlockSpec((kb, bn), lambda j, kk: (kk, j)),
+            pl.BlockSpec((1, bn), lambda j, kk: (0, j)),
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec((mp, k), lambda j: (0, 0)),
+            pl.BlockSpec((k, bn), lambda j: (0, j)),
+            pl.BlockSpec((1, bn), lambda j: (0, j)),
+        ]
+
+    def _stripe(shape):  # a [.., bn] operand indexed by the N stripe
+        if kb:
+            return pl.BlockSpec(shape, lambda j, kk: (0, j))
+        return pl.BlockSpec(shape, lambda j: (0, j))
+
+    def _whole(shape):  # a full operand, same block every step
+        if kb:
+            return pl.BlockSpec(shape, lambda j, kk: (0, 0))
+        return pl.BlockSpec(shape, lambda j: (0, 0))
+
     args = [xp, wp, sp]
     have = {"b_ref": False, "ns_ref": False, "nb_ref": False, "r_ref": False}
     if bias is not None:
         args.append(_pad_to(bias.reshape(1, -1), bn, 1))
-        in_specs.append(pl.BlockSpec((1, bn), lambda j: (0, j)))
+        in_specs.append(_stripe((1, bn)))
         have["b_ref"] = True
     if norm is not None:
         assert norm_scale is not None
         args.append(norm_scale.reshape(1, -1))
-        in_specs.append(pl.BlockSpec((1, k), lambda j: (0, 0)))
+        in_specs.append(_whole((1, k)))
         have["ns_ref"] = True
         if norm_bias is not None:
             args.append(norm_bias.reshape(1, -1))
-            in_specs.append(pl.BlockSpec((1, k), lambda j: (0, 0)))
+            in_specs.append(_whole((1, k)))
             have["nb_ref"] = True
     if residual is not None:
         assert residual.shape == (m, n), (residual.shape, (m, n))
         rp = _pad_to(jnp.pad(residual, ((0, mp - m), (0, 0))), bn, 1)
         args.append(rp)
-        in_specs.append(pl.BlockSpec((mp, bn), lambda j: (0, j)))
+        in_specs.append(_stripe((mp, bn)))
         have["r_ref"] = True
 
     order = [k_ for k_ in ("b_ref", "ns_ref", "nb_ref", "r_ref") if have[k_]]
@@ -223,48 +314,59 @@ def quant_gemv_int8(
 
     def kernel(x_ref, w_ref, s_ref, *rest):
         opt = dict(zip(order, rest[:n_opt]))
-        _gemv_kernel(
-            x_ref,
-            w_ref,
-            s_ref,
-            opt.get("b_ref"),
-            opt.get("ns_ref"),
-            opt.get("nb_ref"),
+        named = (
+            opt.get("b_ref"), opt.get("ns_ref"), opt.get("nb_ref"),
             opt.get("r_ref"),
-            *rest[n_opt:],
-            activation=activation,
-            norm=norm,
-            norm_eps=norm_eps,
-            argmax_n=argmax_n,
         )
+        if kb:
+            _gemv_kernel_kblocked(
+                x_ref, w_ref, s_ref, *named, *rest[n_opt:],
+                activation=activation, norm=norm, norm_eps=norm_eps,
+                argmax_n=argmax_n, n_k=n_k, bk=kb,
+            )
+        else:
+            _gemv_kernel(
+                x_ref, w_ref, s_ref, *named, *rest[n_opt:],
+                activation=activation, norm=norm, norm_eps=norm_eps,
+                argmax_n=argmax_n,
+            )
 
+    xn_shape = (n_k, mp, kb) if kb else (mp, k)
     if argmax_n is not None:
         assert activation is None and residual is None, "argmax excludes epilogues"
         out_shape = jax.ShapeDtypeStruct((mp, 128), jnp.int32)
-        out_specs = pl.BlockSpec((mp, 128), lambda j: (0, 0))
-        scratch = [
-            pltpu.VMEM((mp, k), jnp.float32),
+        out_specs = _whole((mp, 128))
+        scratch = [pltpu.VMEM(xn_shape, jnp.float32)]
+        if kb:
+            scratch.append(pltpu.VMEM((mp, bn), jnp.float32))
+        scratch += [
             pltpu.VMEM((mp, 128), jnp.float32),
             pltpu.VMEM((mp, 128), jnp.int32),
         ]
     else:
         out_shape = jax.ShapeDtypeStruct((mp, np_), out_dtype)
-        out_specs = pl.BlockSpec((mp, bn), lambda j: (0, j))
-        scratch = [pltpu.VMEM((mp, k), jnp.float32)]
+        out_specs = _stripe((mp, bn))
+        scratch = [pltpu.VMEM(xn_shape, jnp.float32)]
+        if kb:
+            scratch.append(pltpu.VMEM((mp, bn), jnp.float32))
 
     out = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        grid=(np_ // bn,),
+        grid=(np_ // bn, n_k) if kb else (np_ // bn,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            # "arbitrary": the norm/argmax scratch is written on stripe 0 and
-            # read by every later stripe — execution must stay in grid order.
-            dimension_semantics=("arbitrary",)
-            if (norm is not None or argmax_n is not None)
-            else ("parallel",),
+            # "arbitrary": the norm/argmax/acc scratch is written on one step
+            # and read by later steps — execution must stay in grid order.
+            dimension_semantics=("arbitrary", "arbitrary")
+            if kb
+            else (
+                ("arbitrary",)
+                if (norm is not None or argmax_n is not None)
+                else ("parallel",)
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * k,

@@ -650,3 +650,46 @@ def test_decode_attention_batched_packed_wo(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(k1), np.asarray(k0))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), rtol=1e-4, atol=1e-4)
+
+
+def test_quant_gemv_kblocked_parity(rng):
+    """block_k streams [block_k, block_n] weight tiles (the wide-stripe DMA
+    geometry); results must match the whole-K kernel across every fused
+    feature: norm prologue, bias, activation, residual, and the argmax
+    epilogue."""
+    from rten_tpu.kernels.quant_matmul import quant_gemv_int8
+
+    k, n = 512, 384
+    x = rng.standard_normal((2, k)).astype(np.float32)
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    w_q, s = quantize_weights_int8(w, axis=-1)
+    b = rng.standard_normal(n).astype(np.float32) * 0.1
+    r = rng.standard_normal((2, n)).astype(np.float32)
+    ns = rng.uniform(0.5, 1.5, k).astype(np.float32)
+    nb = rng.standard_normal(k).astype(np.float32) * 0.1
+
+    base = dict(block_n=128, interpret=True)
+    for kwargs in (
+        dict(),
+        dict(bias=b, activation="gelu"),
+        dict(norm="layernorm", norm_scale=ns, norm_bias=nb),
+        dict(norm="rmsnorm", norm_scale=ns, bias=b, residual=r),
+    ):
+        ref = quant_gemv_int8(x, w_q, s, **kwargs, **base)
+        got = quant_gemv_int8(x, w_q, s, block_k=128, **kwargs, **base)
+        # per-K-tile partial sums reassociate the f32 accumulation
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=5e-4, atol=5e-4
+        ), kwargs
+
+    # fused argmax through the K-blocked path (the lm-head configuration)
+    vocab = 300
+    ref_am = quant_gemv_int8(x, w_q, s, argmax_n=vocab, **base)
+    got_am = quant_gemv_int8(x, w_q, s, argmax_n=vocab, block_k=128, **base)
+    np.testing.assert_array_equal(np.asarray(got_am), np.asarray(ref_am))
+    # block_k not dividing K falls back to whole-K silently
+    got_nd = quant_gemv_int8(x, w_q, s, block_k=200, **base)
+    np.testing.assert_allclose(
+        np.asarray(got_nd), np.asarray(quant_gemv_int8(x, w_q, s, **base)),
+        rtol=1e-6, atol=1e-6,
+    )
