@@ -1050,6 +1050,217 @@ def _decode_attn_int8_kernel(
         _row_copy(1, v_hbm, True).wait()
 
 
+def _decode_attn_int8_kernel_batched(
+    kv_len_ref,  # [B] SMEM
+    q_ref,  # [B, Hk, Gp, 128] VMEM f32/bf16 (lanes :D)
+    k_hbm,  # [B, Hk, S*D/128, 128] int8 ANY (aliased when writing)
+    v_hbm,
+    ks_hbm,  # [B, Hk, 8, S*D/128] f32 scale pages
+    vs_hbm,
+    kn_ref,  # [B, Hk, 8, 128] int8 (row 0, lanes :D) or None
+    vn_ref,
+    kdq_ref,  # [B, Hk, 8, 128] f32 dequantized new token or None
+    vdq_ref,
+    o_ref,  # [B, Hk, Gp, 128]
+    k_buf,  # [2, B, Hk, rpb, 128] int8
+    v_buf,
+    s_buf,  # [2, 2, B, Hk, 8, rpb] f32
+    sem,  # [2, 4]
+    row_buf,  # [2, B, Hk, 32, 128] int8 or None
+    row_sem,  # [2, B] or None
+    *,
+    n_batch: int,
+    block_s: int,
+    rows_per_block: int,
+    d: int,
+    sm_scale: float,
+):
+    """Batched single-cell variant of _decode_attn_int8_kernel — the int8-KV
+    twin of _decode_attn_kernel_batched (strided [B, ...] payload + scale
+    DMAs, (batch·Hk)-batched online softmax, per-row 32-row RMW appends
+    with deferred write waits)."""
+    B = n_batch
+    f = _LANES // d
+    hk = q_ref.shape[1]
+    gp = q_ref.shape[2]
+    bh = B * hk
+
+    lens = [kv_len_ref[bi] for bi in range(B)]
+    max_len = lens[0]
+    for ln in lens[1:]:
+        max_len = jnp.maximum(max_len, ln)
+    lengths = jnp.stack(lens)  # [B]
+    n_blocks = pl.cdiv(max_len, block_s)
+
+    def dma(buf_slot, blk_idx):
+        row0 = blk_idx * rows_per_block
+        return (
+            pltpu.make_async_copy(
+                k_hbm.at[:, :, pl.ds(row0, rows_per_block), :],
+                k_buf.at[buf_slot],
+                sem.at[buf_slot, 0],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[:, :, pl.ds(row0, rows_per_block), :],
+                v_buf.at[buf_slot],
+                sem.at[buf_slot, 1],
+            ),
+            pltpu.make_async_copy(
+                ks_hbm.at[:, :, :, pl.ds(row0, rows_per_block)],
+                s_buf.at[buf_slot, 0],
+                sem.at[buf_slot, 2],
+            ),
+            pltpu.make_async_copy(
+                vs_hbm.at[:, :, :, pl.ds(row0, rows_per_block)],
+                s_buf.at[buf_slot, 1],
+                sem.at[buf_slot, 3],
+            ),
+        )
+
+    @pl.when(n_blocks > 0)
+    def _warmup():
+        for copy in dma(0, 0):
+            copy.start()
+
+    if kn_ref is not None:
+        rows_of = [(ln * d) // _LANES for ln in lens]
+        row32s = [(r // 32) * 32 for r in rows_of]
+
+        def _row_copy(which, bi, hbm, to_hbm: bool):
+            args = (
+                row_buf.at[which, bi],
+                hbm.at[bi, :, pl.ds(row32s[bi], 32), :],
+            )
+            src, dst = (args if to_hbm else args[::-1])
+            return pltpu.make_async_copy(src, dst, row_sem.at[which, bi])
+
+        for bi in range(B):
+            _row_copy(0, bi, k_hbm, False).start()
+            _row_copy(1, bi, v_hbm, False).start()
+
+        local = jnp.stack([r - r32 for r, r32 in zip(rows_of, row32s)])
+        sub = jax.lax.rem(lengths, f)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (B, hk, 32, _LANES), 2)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, hk, 32, _LANES), 3)
+        hit = jnp.logical_and(
+            rowi == local[:, None, None, None],
+            lane // d == sub[:, None, None, None],
+        )
+
+        def _merge(which, src_new_ref):
+            old = row_buf[which]  # [B, Hk, 32, 128]
+            new = src_new_ref[:, :, 0:1, :d]  # [B, Hk, 1, D]
+            tiled = jnp.concatenate([new] * f, axis=-1) if f > 1 else new
+            row_buf[which] = jnp.where(hit, tiled.astype(old.dtype), old)
+
+        for bi in range(B):
+            _row_copy(0, bi, k_hbm, False).wait()
+        _merge(0, kn_ref)
+        for bi in range(B):
+            _row_copy(0, bi, k_hbm, True).start()
+            _row_copy(1, bi, v_hbm, False).wait()
+        _merge(1, vn_ref)
+        for bi in range(B):
+            _row_copy(1, bi, v_hbm, True).start()
+
+    q = q_ref[...][:, :, :, :d].reshape(bh, gp, d).astype(jnp.float32)
+    lengths_bh = jnp.broadcast_to(lengths[:, None], (B, hk)).reshape(bh)
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        slot = jax.lax.rem(i, 2)
+        next_slot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_blocks)
+        def _prefetch():
+            for copy in dma(next_slot, i + 1):
+                copy.start()
+
+        kc, vc, ksc, vsc = dma(slot, i)
+        kc.wait()
+        ksc.wait()
+        k = k_buf[slot].reshape(bh, rows_per_block, _LANES).astype(jnp.float32)
+        k_scales = s_buf[slot, 0].reshape(bh, 8, rows_per_block)
+
+        base = i * block_s
+        row_tok = (
+            jax.lax.broadcasted_iota(jnp.int32, (bh, gp, rows_per_block), 2) * f
+        )
+        s_parts = []
+        for j in range(f):
+            kj = k[:, :, j * d : (j + 1) * d]
+            s = jax.lax.dot_general(
+                q, kj, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [BH, Gp, rpb]
+            s = s * k_scales[:, j : j + 1, :] * sm_scale
+            s = jnp.where(
+                base + row_tok + j < lengths_bh[:, None, None],
+                s,
+                DEFAULT_MASK_VALUE,
+            )
+            s_parts.append(s)
+
+        m_curr = s_parts[0].max(axis=2, keepdims=True)
+        for s in s_parts[1:]:
+            m_curr = jnp.maximum(m_curr, s.max(axis=2, keepdims=True))
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+
+        vc.wait()
+        vsc.wait()
+        v = v_buf[slot].reshape(bh, rows_per_block, _LANES).astype(jnp.float32)
+        v_scales = s_buf[slot, 1].reshape(bh, 8, rows_per_block)
+
+        l_curr = jnp.zeros_like(l_prev)
+        pv = jnp.zeros_like(acc)
+        for j, s in enumerate(s_parts):
+            p = jnp.exp(s - m_next)
+            l_curr = l_curr + jnp.sum(p, axis=2, keepdims=True)
+            pv = pv + jax.lax.dot_general(
+                p * v_scales[:, j : j + 1, :],
+                v[:, :, j * d : (j + 1) * d],
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        l_next = alpha * l_prev + l_curr
+        acc = acc * alpha + pv
+        return m_next, l_next, acc
+
+    if kn_ref is not None:
+        k_new = kdq_ref[:, :, 0:1, :d].reshape(bh, 1, d).astype(jnp.float32)
+        s_new = jax.lax.dot_general(
+            q, k_new, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s_new = s_new * sm_scale
+        v_seed = vdq_ref[:, :, 0:1, :d].reshape(bh, 1, d).astype(jnp.float32)
+        init = (
+            s_new,
+            jnp.ones((bh, gp, 1), jnp.float32),
+            jnp.broadcast_to(v_seed, (bh, gp, d)),
+        )
+    else:
+        init = (
+            jnp.full((bh, gp, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((bh, gp, 1), jnp.float32),
+            jnp.zeros((bh, gp, d), jnp.float32),
+        )
+    m_fin, l_fin, acc = jax.lax.fori_loop(0, n_blocks, body, init)
+    l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+    final = (acc * l_inv).reshape(B, hk, gp, d)
+    if d < _LANES:
+        final = jnp.concatenate(
+            [final] + [jnp.zeros_like(final)] * (_LANES // d - 1), axis=-1
+        )
+    o_ref[...] = final.astype(o_ref.dtype)
+    if kn_ref is not None:
+        for bi in range(B):
+            _row_copy(0, bi, k_hbm, True).wait()
+            _row_copy(1, bi, v_hbm, True).wait()
+
+
+
 def pack_kv_scales(scales, head_dim: int):
     """[B, H, S, 1] per-token scales → kernel layout [B, H, 8, S/f] where
     f = 128/head_dim: token t sits at row t % f, column t // f (matching the
@@ -1139,24 +1350,44 @@ def decode_attention_int8(
 
     gp = max(8, -(-group // 8) * 8)
     lane_pad = _LANES - d  # 128-minor operands/outputs; see decode_attention
+    # Batched single-cell mode — see decode_attention.
+    batched = b > 1 and os.environ.get("RTEN_BATCHED_ATTN", "0") == "1"
+    if batched:
+        while (
+            2 * 2 * b * hk * rows_per_block * _LANES > 24 << 20
+            and block_s % 2 == 0
+            and decode_attention_int8_supported(d, s_max, block_s // 2)
+        ):
+            block_s //= 2
+            rows_per_block = block_s * d // _LANES
+    lead = b if batched else 1
+    _ix = (lambda bi: 0) if batched else (lambda bi: bi)
     qg = q.reshape(b, hk, group, d)
     if gp != group or lane_pad:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - group), (0, lane_pad)))
 
     in_specs = [
-        pl.BlockSpec((1, hk, gp, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
+        pl.BlockSpec((lead, hk, gp, _LANES), lambda bi, *_: (_ix(bi), 0, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     args = [kv_len, qg, kf, vf, k_scales, v_scales]
-    scratch = [
-        pltpu.VMEM((2, hk, rows_per_block, _LANES), jnp.int8),
-        pltpu.VMEM((2, hk, rows_per_block, _LANES), jnp.int8),
-        pltpu.VMEM((2, 2, hk, 8, rows_per_block), jnp.float32),
-        pltpu.SemaphoreType.DMA((2, 4)),
-    ]
+    if batched:
+        scratch = [
+            pltpu.VMEM((2, b, hk, rows_per_block, _LANES), jnp.int8),
+            pltpu.VMEM((2, b, hk, rows_per_block, _LANES), jnp.int8),
+            pltpu.VMEM((2, 2, b, hk, 8, rows_per_block), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((2, hk, rows_per_block, _LANES), jnp.int8),
+            pltpu.VMEM((2, hk, rows_per_block, _LANES), jnp.int8),
+            pltpu.VMEM((2, 2, hk, 8, rows_per_block), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ]
     if fused_write:
         # Quantize the new token per head (absmax over all D lanes).
         def quant(x):
@@ -1180,23 +1411,31 @@ def decode_attention_int8(
         kdq = jnp.pad(kdq, ((0, 0), (0, 0), (0, 7), (0, lane_pad)))
         vdq = jnp.pad(vdq, ((0, 0), (0, 0), (0, 7), (0, lane_pad)))
         in_specs += [
-            pl.BlockSpec((1, hk, 8, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, hk, 8, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, hk, 8, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, hk, 8, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec((lead, hk, 8, _LANES), lambda bi, *_: (_ix(bi), 0, 0, 0)),
+            pl.BlockSpec((lead, hk, 8, _LANES), lambda bi, *_: (_ix(bi), 0, 0, 0)),
+            pl.BlockSpec((lead, hk, 8, _LANES), lambda bi, *_: (_ix(bi), 0, 0, 0)),
+            pl.BlockSpec((lead, hk, 8, _LANES), lambda bi, *_: (_ix(bi), 0, 0, 0)),
         ]
         args += [knq, vnq, kdq, vdq]
-        scratch += [
-            pltpu.VMEM((2, hk, 32, _LANES), jnp.int8),
-            pltpu.SemaphoreType.DMA((2,)),
-        ]
+        if batched:
+            scratch += [
+                pltpu.VMEM((2, b, hk, 32, _LANES), jnp.int8),
+                pltpu.SemaphoreType.DMA((2, b)),
+            ]
+        else:
+            scratch += [
+                pltpu.VMEM((2, hk, 32, _LANES), jnp.int8),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
         out_shape = (
             jax.ShapeDtypeStruct((b, hk, gp, _LANES), q.dtype),
             jax.ShapeDtypeStruct(kf.shape, kf.dtype),
             jax.ShapeDtypeStruct(vf.shape, vf.dtype),
         )
         out_specs = (
-            pl.BlockSpec((1, hk, gp, _LANES), lambda bi, *_: (bi, 0, 0, 0)),
+            pl.BlockSpec(
+                (lead, hk, gp, _LANES), lambda bi, *_: (_ix(bi), 0, 0, 0)
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         )
@@ -1204,7 +1443,7 @@ def decode_attention_int8(
     else:
         out_shape = jax.ShapeDtypeStruct((b, hk, gp, _LANES), q.dtype)
         out_specs = pl.BlockSpec(
-            (1, hk, gp, _LANES), lambda bi, *_: (bi, 0, 0, 0)
+            (lead, hk, gp, _LANES), lambda bi, *_: (_ix(bi), 0, 0, 0)
         )
         aliases = {}
 
@@ -1219,19 +1458,28 @@ def decode_attention_int8(
             o_ref = rest[0]
             k_buf, v_buf, s_buf, sem_ = rest[1:]
             k_tgt, v_tgt = k_hbm, v_hbm
-        _decode_attn_int8_kernel(
-            kv_len_ref, q_ref, k_tgt, v_tgt, ks_hbm, vs_hbm,
-            kn_ref, vn_ref, kdq_ref, vdq_ref, o_ref,
-            k_buf, v_buf, s_buf, sem_, row_buf, row_sem,
-            block_s=block_s, rows_per_block=rows_per_block, d=d,
-            sm_scale=sm_scale,
-        )
+        if batched:
+            _decode_attn_int8_kernel_batched(
+                kv_len_ref, q_ref, k_tgt, v_tgt, ks_hbm, vs_hbm,
+                kn_ref, vn_ref, kdq_ref, vdq_ref, o_ref,
+                k_buf, v_buf, s_buf, sem_, row_buf, row_sem,
+                n_batch=b, block_s=block_s, rows_per_block=rows_per_block,
+                d=d, sm_scale=sm_scale,
+            )
+        else:
+            _decode_attn_int8_kernel(
+                kv_len_ref, q_ref, k_tgt, v_tgt, ks_hbm, vs_hbm,
+                kn_ref, vn_ref, kdq_ref, vdq_ref, o_ref,
+                k_buf, v_buf, s_buf, sem_, row_buf, row_sem,
+                block_s=block_s, rows_per_block=rows_per_block, d=d,
+                sm_scale=sm_scale,
+            )
 
     res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b,),
+            grid=(1,) if batched else (b,),
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=scratch,
@@ -1239,7 +1487,7 @@ def decode_attention_int8(
         out_shape=out_shape,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("arbitrary",) if batched else ("parallel",),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s_max * d,

@@ -693,3 +693,50 @@ def test_quant_gemv_kblocked_parity(rng):
         np.asarray(got_nd), np.asarray(quant_gemv_int8(x, w_q, s, **base)),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_decode_attention_int8_batched_matches_per_cell(rng, monkeypatch):
+    """Int8-KV twin of the batched single-cell mode: outputs, in-place int8
+    cache writes, and spliced scales must match the per-cell grid kernel."""
+    from rten_tpu.kernels.decode_attention import (
+        decode_attention_int8,
+        pack_kv_scales,
+    )
+
+    b, h, hk, s, d = 4, 2, 2, 512, 64
+    q = rng.standard_normal((b, h, 1, d)).astype(np.float32) * 0.3
+    kfp = rng.standard_normal((b, hk, s, d)).astype(np.float32) * 0.3
+    vfp = rng.standard_normal((b, hk, s, d)).astype(np.float32)
+
+    def quant(x):
+        absmax = np.abs(x).max(-1, keepdims=True)
+        sc = np.where(absmax == 0, 1.0, absmax / 127.0)
+        return np.clip(np.round(x / sc), -127, 127).astype(np.int8), sc.astype(np.float32)
+
+    kq, ks = quant(kfp)
+    vq, vs = quant(vfp)
+    ksp = pack_kv_scales(jnp.asarray(ks), d)
+    vsp = pack_kv_scales(jnp.asarray(vs), d)
+    kn = rng.standard_normal((b, hk, 1, d)).astype(np.float32) * 0.3
+    vn = rng.standard_normal((b, hk, 1, d)).astype(np.float32)
+    lens = np.array([0, 63, 130, 511], np.int32)
+
+    def run(flag):
+        monkeypatch.setenv("RTEN_BATCHED_ATTN", flag)
+        jax.clear_caches()  # flag read at trace time
+        return decode_attention_int8(
+            jnp.asarray(q), jnp.asarray(kq), jnp.asarray(vq), ksp, vsp,
+            jnp.asarray(lens), jnp.asarray(kn), jnp.asarray(vn),
+            block_s=256, interpret=True,
+        )
+
+    try:
+        o0, k0, v0, ks0, vs0 = run("0")
+        o1, k1, v1, ks1, vs1 = run("1")
+    finally:
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k0))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    np.testing.assert_array_equal(np.asarray(ks1), np.asarray(ks0))
+    np.testing.assert_array_equal(np.asarray(vs1), np.asarray(vs0))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), rtol=1e-5, atol=1e-5)
