@@ -93,13 +93,24 @@ def main(argv=None):
 
     if args.model and args.model.endswith(".rten"):
         # Exported graph path: load the .rten, auto-lift HF-named decoder
-        # graphs onto the native kernels (reference analog: gpt2.rs loads
-        # the exported model file, rten-examples/src/gpt2.rs:112-118).
-        from rten_tpu.generate.generator import GraphBackend
+        # graphs onto the native kernels via backend_for_model, falling
+        # back to the generic GraphBackend for unrecognized graphs
+        # (reference analog: gpt2.rs loads the exported model file,
+        # rten-examples/src/gpt2.rs:112-118).
+        from rten_tpu.generate.generator import (
+            EncDecBackendFactory,
+            backend_for_model,
+        )
         from rten_tpu.runtime.session import Model
 
         model = Model.load_file(args.model)
-        backend = GraphBackend(model)
+        backend = backend_for_model(model, n_heads=args.heads)
+        if isinstance(backend, EncDecBackendFactory):
+            raise SystemExit(
+                "--model .rten resolved to an encoder-decoder graph; "
+                "gpt2.py drives decoder-only models"
+            )
+        print(f"backend: {type(backend).__name__}")
         metrics = Metrics()
         gen = (
             Generator(backend, GeneratorConfig(max_tokens=args.max_tokens, seed=args.seed))

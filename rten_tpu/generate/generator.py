@@ -433,17 +433,25 @@ def backend_for_model(model, n_heads: int | None = None, batch: int = 1):
     try:
         # Whisper-class encoder-decoder graphs lift onto EncDecBackend —
         # but that backend needs the per-utterance encoder input, so hand
-        # back a factory the caller invokes with the audio features.
+        # back a typed factory the caller invokes with the audio features
+        # (isinstance-checkable, unlike a bare closure).
         cfg, params = lift_encoder_decoder(model, n_heads=n_heads)
-
-        def make(encoder_input, max_len=None):
-            return EncDecBackend(params, cfg, encoder_input, max_len=max_len)
-
-        make.cfg = cfg
-        make.params = params
-        return make
+        return EncDecBackendFactory(params, cfg)
     except LiftError:
         return GraphBackend(model)
+
+
+class EncDecBackendFactory:
+    """Returned by backend_for_model for encoder-decoder graphs: call it
+    with the per-utterance encoder input (audio features) to get an
+    EncDecBackend. Carries the lifted cfg/params."""
+
+    def __init__(self, params, cfg):
+        self.params = params
+        self.cfg = cfg
+
+    def __call__(self, encoder_input, max_len=None):
+        return EncDecBackend(self.params, self.cfg, encoder_input, max_len=max_len)
 
 
 class EncDecBackend:

@@ -599,6 +599,13 @@ def decode_attention(
         h = wo_q.shape[0] // d
         group = h // hk
         assert group <= 8, "packed_qkv supports group <= 8"
+        # A 1-row packed operand is sublane-padded with ZEROS: rows 1..7 of
+        # q would be zero queries for GQA groups > 1 — silently-uniform
+        # attention, not an error. Require the caller to pre-pad instead.
+        assert gp_in == 8 or group == 1, (
+            "packed_qkv with gp=1 requires MHA (group == 1); pre-pad the "
+            "group rows for GQA"
+        )
     else:
         b, h, sq, d = q.shape
         assert sq == 1, "decode_attention handles exactly one query position"
@@ -646,7 +653,9 @@ def decode_attention(
     # Batched single-cell mode (serving batches): every batch row handled
     # in ONE grid cell with strided [B, ...] DMAs — per-row fixed costs
     # (exposed block-0 latency, RMW round trips) collapse to one. Opt-in
-    # via RTEN_BATCHED_ATTN=1 pending TPU validation.
+    # via RTEN_BATCHED_ATTN=1 pending TPU validation. PROCESS-LEVEL: the
+    # flag is read at trace time and is not part of the jit key — set it
+    # before the first call (jax.clear_caches() to retoggle in-process).
     batched = b > 1 and os.environ.get("RTEN_BATCHED_ATTN", "0") == "1"
     if batched:
         # Shrink the cache block so the [2, B, Hk, rpb, 128] double buffers

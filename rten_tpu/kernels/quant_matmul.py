@@ -507,6 +507,8 @@ def quant_matmul_int8(
     # RTEN_PREFILL_PIPE=1 selects the K-pipelined dequant variant (the VPU
     # tile conversion overlaps the previous MXU dot; one extra grid step per
     # (i, j) pass as pipeline fill). Off by default pending TPU A/B.
+    # PROCESS-LEVEL: read at trace time, not part of the jit key — set
+    # before the first call (jax.clear_caches() to retoggle in-process).
     pipelined = os.environ.get("RTEN_PREFILL_PIPE", "0") == "1"
     if pipelined:
         in_specs = [

@@ -232,11 +232,10 @@ def from_hf_bert(hf_state: dict, cfg: BertConfig, dtype=jnp.float32) -> dict:
     torch-parity tests, mirroring the reference's PyTorch reference fixtures
     (pytorch-ref-tests/rnn.py, SURVEY.md §4)."""
 
+    from rten_tpu.models.decoder import _as_np
+
     def g(name):
-        t = hf_state[name]
-        if hasattr(t, "detach"):  # torch tensor or plain numpy (.npz file)
-            t = t.detach().cpu()
-        return jnp.asarray(np.asarray(t), dtype)
+        return jnp.asarray(_as_np(hf_state[name]), dtype)
 
     params: dict[str, Any] = {
         "tok_emb": g("embeddings.word_embeddings.weight"),

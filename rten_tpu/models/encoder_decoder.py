@@ -693,12 +693,11 @@ def from_hf_whisper(hf_state: dict, cfg: EncDecConfig, dtype=None) -> dict:
 
     dtype = dtype or cfg.dtype
 
+    from rten_tpu.models.decoder import _as_np
+
     def g(name):
         key = name if name in hf_state else "model." + name
-        t = hf_state[key]
-        if hasattr(t, "detach"):  # torch tensor or plain numpy (.npz file)
-            t = t.detach().cpu()
-        return jnp.asarray(np.asarray(t), dtype)
+        return jnp.asarray(_as_np(hf_state[key]), dtype)
 
     def attn(prefix):
         return {

@@ -238,8 +238,11 @@ class ServingEngine:
         k = n_steps or self.steps_per_tick
 
         active_np = np.array([s is not None for s in self.slots], bool)
+        # eos array shape is part of the K-step program's jit key: pad to a
+        # fixed minimum width so the common 1-vs-2 stop-token churn in the
+        # active set never recompiles the decode scan mid-serving.
         eos_width = max(
-            [len(s.eos_tokens) for s in self.slots if s is not None] + [1]
+            [len(s.eos_tokens) for s in self.slots if s is not None] + [4]
         )
         eos_np = np.full((self.max_batch, eos_width), -1, np.int64)
         budget_np = np.zeros((self.max_batch,), np.int32)
