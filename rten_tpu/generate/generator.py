@@ -133,6 +133,13 @@ class GraphBackend:
             n for n in names if any(p.match(n) for p in self.CACHE_PATTERNS)
         ]
         out_names = model.output_names()
+        if not out_names:
+            raise ValueError(
+                "graph declares no outputs — not a runnable generation "
+                "model (note: load-time optimization sweeps constants "
+                "unreachable from outputs, so a weights-only graph also "
+                "loses its lift-able initializers)"
+            )
         self.logits_name = "logits" if "logits" in out_names else out_names[0]
         self.cache_outputs = {
             n: n.replace("present", "past_key_values").replace(".decoder", "").replace(".encoder", "")
