@@ -29,12 +29,27 @@ from __future__ import annotations
 import functools
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 HBM_BW = 8.1e11  # v5e ≈ 810 GB/s nominal
 MXU_TFLOPS = 197.0  # v5e bf16 nominal
+
+# Mid-round opportunistic capture: whenever a fresh measurement succeeds
+# (here or in benchmarks/tpu_battery.py), the headline line is saved to this
+# file so a tunnel outage at round-end capture time degrades to a slightly
+# stale number instead of a 0.0 artifact. Env-overridable for tests.
+STALE_PATH = os.environ.get(
+    "RTEN_BENCH_STALE_PATH",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_midround.json"),
+)
+
+OUTAGE_METRIC = (
+    "tokens/sec/chip (GPT-2-small-class 124M, INT8 weights, batch 1 decode)"
+)
 
 
 def _quant_stream_bytes(node, exclude=("tok_emb", "pos_emb")):
@@ -54,7 +69,9 @@ def _quant_stream_bytes(node, exclude=("tok_emb", "pos_emb")):
     return node.size * node.dtype.itemsize
 
 
-def main() -> None:
+def child_main() -> None:
+    """One measurement attempt (run in a fresh subprocess by parent_main so
+    a hung device init never poisons a retry)."""
     import jax
     import jax.numpy as jnp
 
@@ -63,11 +80,11 @@ def main() -> None:
     # Tunnel watchdog: device init through the shared tunnel has been
     # observed to hang indefinitely during outages (15+ min with no
     # progress). Emit an honest error artifact instead of timing out with
-    # no JSON line at all — the driver records the line either way.
+    # no JSON line at all — the parent retries on rc 3.
     import threading
 
     init_done = threading.Event()
-    watchdog_s = float(os.environ.get("RTEN_BENCH_INIT_TIMEOUT_S", "600"))
+    watchdog_s = float(os.environ.get("RTEN_BENCH_INIT_TIMEOUT_S", "180"))
 
     def _watchdog():
         if not init_done.wait(watchdog_s):
@@ -92,6 +109,8 @@ def main() -> None:
             os._exit(3)
 
     threading.Thread(target=_watchdog, daemon=True).start()
+    if os.environ.get("RTEN_BENCH_FAKE_HANG") == "1":
+        time.sleep(watchdog_s + 30)  # test hook: simulate a hung device init
     jax.devices()  # force backend init under the watchdog
     init_done.set()
 
@@ -321,6 +340,115 @@ def main() -> None:
             }
         )
     )
+
+
+def _read_stale() -> dict | None:
+    try:
+        with open(STALE_PATH) as f:
+            rec = json.load(f)
+        return rec if rec.get("value", 0) > 0 else None
+    except (OSError, ValueError):
+        return None
+
+
+def write_stale(record: dict) -> None:
+    """Persist a successful headline line for outage fallback (also called
+    by benchmarks/tpu_battery.py after its headline phase)."""
+    record = dict(record)
+    record.setdefault("detail", {})
+    record["detail"]["captured_unix"] = int(time.time())
+    tmp = STALE_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(record, f)
+    os.replace(tmp, STALE_PATH)
+
+
+def parent_main() -> None:
+    """Outage-proof capture: run the measurement in fresh subprocesses with
+    per-attempt init watchdogs and backoff; if every attempt fails, degrade
+    to the last mid-round opportunistic capture (marked stale) instead of a
+    0.0 artifact. A hung init in one process never poisons the next attempt
+    — each child gets a brand-new backend."""
+    attempts = int(os.environ.get("RTEN_BENCH_INIT_ATTEMPTS", "3"))
+    init_s = float(os.environ.get("RTEN_BENCH_INIT_TIMEOUT_S", "180"))
+    budget_s = float(os.environ.get("RTEN_BENCH_BUDGET_S", "300"))
+    backoff_s = float(os.environ.get("RTEN_BENCH_RETRY_BACKOFF_S", "20"))
+    errors: list[str] = []
+    for attempt in range(attempts):
+        env = dict(os.environ, RTEN_BENCH_CHILD="1")
+        rc: int | str
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True,
+                text=True,
+                timeout=init_s + budget_s + 120,
+                env=env,
+            )
+            out, rc = proc.stdout, proc.returncode
+        except subprocess.TimeoutExpired as e:
+            out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+            rc = "hard-timeout"
+        # Last JSON line wins (the child prints exactly one on success; the
+        # watchdog's outage line has value 0.0 and is not a success).
+        line = None
+        for cand in reversed(out.strip().splitlines()):
+            try:
+                rec = json.loads(cand)
+                if isinstance(rec, dict) and "metric" in rec:
+                    line = rec
+                    break
+            except ValueError:
+                continue
+        if line is not None and line.get("value", 0) > 0:
+            write_stale(line)
+            print(json.dumps(line), flush=True)
+            return
+        if line is not None:
+            errors.append(
+                f"attempt {attempt + 1}: "
+                + str(line.get("detail", {}).get("error", "value 0.0"))
+            )
+        else:
+            errors.append(f"attempt {attempt + 1}: no JSON line (rc {rc})")
+        if attempt < attempts - 1:
+            time.sleep(backoff_s * (attempt + 1))
+
+    stale = _read_stale()
+    if stale is not None:
+        stale = dict(stale)
+        detail = dict(stale.get("detail", {}))
+        detail["stale"] = True
+        detail["stale_reason"] = (
+            "fresh capture failed after "
+            f"{attempts} attempts ({'; '.join(errors)}); value is the last "
+            "mid-round opportunistic capture"
+        )
+        stale["detail"] = detail
+        print(json.dumps(stale), flush=True)
+        return
+    print(
+        json.dumps(
+            {
+                "metric": OUTAGE_METRIC,
+                "value": 0.0,
+                "unit": "tokens/s",
+                "vs_baseline": 0.0,
+                "detail": {
+                    "error": f"all {attempts} init attempts failed "
+                    f"({'; '.join(errors)}) and no mid-round capture exists"
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
+def main() -> None:
+    if os.environ.get("RTEN_BENCH_CHILD") == "1":
+        child_main()
+    else:
+        parent_main()
 
 
 if __name__ == "__main__":

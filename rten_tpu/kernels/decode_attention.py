@@ -49,6 +49,13 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _LANES = 128
 
+# Default for the batched single-cell decode mode (see decode_attention's
+# ``batched`` kwarg). Read ONCE at import so a mid-process env toggle is
+# consistently inert instead of silently serving a stale compiled variant
+# (the flag is trace-time state, not part of the jit key). Callers that
+# need per-call control pass ``batched=`` explicitly — it IS a jit static.
+_BATCHED_ATTN_DEFAULT = os.environ.get("RTEN_BATCHED_ATTN", "0") == "1"
+
 
 def _decode_attn_kernel(
     # scalar prefetch
@@ -548,7 +555,7 @@ def decode_attention_supported(head_dim: int, s_max: int, block_s: int = 256) ->
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "block_s", "interpret"),
+    static_argnames=("sm_scale", "block_s", "interpret", "batched"),
 )
 def decode_attention(
     q,
@@ -566,6 +573,7 @@ def decode_attention(
     sm_scale: float | None = None,
     block_s: int = 256,
     interpret: bool = False,
+    batched: bool | None = None,
 ):
     """softmax(q @ kᵀ · scale) @ v over the valid cache prefix.
 
@@ -652,11 +660,12 @@ def decode_attention(
     lane_pad = _LANES - d
     # Batched single-cell mode (serving batches): every batch row handled
     # in ONE grid cell with strided [B, ...] DMAs — per-row fixed costs
-    # (exposed block-0 latency, RMW round trips) collapse to one. Opt-in
-    # via RTEN_BATCHED_ATTN=1 pending TPU validation. PROCESS-LEVEL: the
-    # flag is read at trace time and is not part of the jit key — set it
-    # before the first call (jax.clear_caches() to retoggle in-process).
-    batched = b > 1 and os.environ.get("RTEN_BATCHED_ATTN", "0") == "1"
+    # (exposed block-0 latency, RMW round trips) collapse to one. Default
+    # comes from RTEN_BATCHED_ATTN read once at module import; per-call
+    # override via the ``batched`` jit-static kwarg.
+    if batched is None:
+        batched = _BATCHED_ATTN_DEFAULT
+    batched = batched and b > 1
     if batched:
         # Shrink the cache block so the [2, B, Hk, rpb, 128] double buffers
         # stay within a ~24 MB VMEM budget; must keep dividing s_max.
@@ -669,6 +678,11 @@ def decode_attention(
         ):
             block_s //= 2
             rows_per_block = block_s * d // _LANES
+        if 2 * 2 * b * hk * rows_per_block * _LANES * bytes_per > 24 << 20:
+            # Shrinking stalled (divisibility/alignment blocked halving) but
+            # the double buffers are still over budget: degrade to the
+            # per-cell grid kernel instead of dying in Mosaic's VMEM check.
+            batched = False
     lead = b if batched else 1
     _ix = (lambda bi: 0) if batched else (lambda bi: bi)
     if packed:
@@ -1304,7 +1318,7 @@ def decode_attention_int8_supported(head_dim: int, s_max: int, block_s: int = 25
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "block_s", "interpret"),
+    static_argnames=("sm_scale", "block_s", "interpret", "batched"),
 )
 def decode_attention_int8(
     q,
@@ -1319,6 +1333,7 @@ def decode_attention_int8(
     sm_scale: float | None = None,
     block_s: int = 256,
     interpret: bool = False,
+    batched: bool | None = None,
 ):
     """INT8-KV decode attention over the valid prefix. With k_new/v_new the
     new token is quantized (per-head absmax), appended into the int8 caches
@@ -1360,7 +1375,9 @@ def decode_attention_int8(
     gp = max(8, -(-group // 8) * 8)
     lane_pad = _LANES - d  # 128-minor operands/outputs; see decode_attention
     # Batched single-cell mode — see decode_attention.
-    batched = b > 1 and os.environ.get("RTEN_BATCHED_ATTN", "0") == "1"
+    if batched is None:
+        batched = _BATCHED_ATTN_DEFAULT
+    batched = batched and b > 1
     if batched:
         while (
             2 * 2 * b * hk * rows_per_block * _LANES > 24 << 20
@@ -1369,6 +1386,10 @@ def decode_attention_int8(
         ):
             block_s //= 2
             rows_per_block = block_s * d // _LANES
+        if 2 * 2 * b * hk * rows_per_block * _LANES > 24 << 20:
+            # Over budget with halving blocked: fall back to the per-cell
+            # grid kernel rather than an opaque Mosaic VMEM error.
+            batched = False
     lead = b if batched else 1
     _ix = (lambda bi: 0) if batched else (lambda bi: bi)
     qg = q.reshape(b, hk, group, d)

@@ -26,6 +26,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rten_tpu.kernels.matmul_pallas import _ACTIVATIONS, _pad_to, pick_block
 
+# Default for the K-pipelined dequant variant (see quant_matmul_int8's
+# ``pipelined`` kwarg). Read ONCE at import — mid-process env toggles are
+# inert (the flag shapes the traced program but is not part of the jit
+# key); per-call control goes through the jit-static kwarg.
+_PREFILL_PIPE_DEFAULT = os.environ.get("RTEN_PREFILL_PIPE", "0") == "1"
+
 
 def quantize_weights_int8(w, axis: int = -1):
     """Symmetric per-channel int8 quantization of a weight matrix.
@@ -445,7 +451,10 @@ def _q_kernel_pipelined(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("activation", "block_m", "block_n", "block_k", "out_dtype", "interpret"),
+    static_argnames=(
+        "activation", "block_m", "block_n", "block_k", "out_dtype",
+        "interpret", "pipelined",
+    ),
 )
 def quant_matmul_int8(
     x,
@@ -459,6 +468,7 @@ def quant_matmul_int8(
     block_k: int = 512,
     out_dtype=None,
     interpret: bool = False,
+    pipelined: bool | None = None,
 ):
     """out = activation((x @ w_q) * scales + bias).
 
@@ -504,12 +514,12 @@ def quant_matmul_int8(
     np_ = wp.shape[1]
     n_k = kp // block_k
 
-    # RTEN_PREFILL_PIPE=1 selects the K-pipelined dequant variant (the VPU
-    # tile conversion overlaps the previous MXU dot; one extra grid step per
-    # (i, j) pass as pipeline fill). Off by default pending TPU A/B.
-    # PROCESS-LEVEL: read at trace time, not part of the jit key — set
-    # before the first call (jax.clear_caches() to retoggle in-process).
-    pipelined = os.environ.get("RTEN_PREFILL_PIPE", "0") == "1"
+    # The K-pipelined dequant variant (the VPU tile conversion overlaps the
+    # previous MXU dot; one extra grid step per (i, j) pass as pipeline
+    # fill). Default from RTEN_PREFILL_PIPE read once at module import;
+    # per-call override via the ``pipelined`` jit-static kwarg.
+    if pipelined is None:
+        pipelined = _PREFILL_PIPE_DEFAULT
     if pipelined:
         in_specs = [
             pl.BlockSpec(

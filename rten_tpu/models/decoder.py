@@ -817,7 +817,15 @@ def forward(
     else:
         head = params["lm_head_q"] if "lm_head_q" in params else params["lm_head"]
         if fuse and isinstance(head, dict):
-            if lm_head_mode == "argmax" and fuse_norm:
+            # Mirror _fproj's shape guard: quantize_params_int8 may K-pad
+            # lm_head_q when d_model isn't a 128 multiple — the GEMV kernel
+            # would trace-fail on the k mismatch, so fall through to the
+            # logits+argmax path instead.
+            if (
+                lm_head_mode == "argmax"
+                and fuse_norm
+                and head["q"].shape[0] == cfg.d_model
+            ):
                 from rten_tpu.kernels.quant_matmul import quant_gemv_int8
 
                 fn = params["final_norm"]

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any
 
 import jax
@@ -29,6 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from rten_tpu.kernels import dispatch
+
+# Default for the fused single-token decode path (see ``decode``'s
+# ``fused`` kwarg). Read ONCE at import — the flag shapes the traced
+# program but is not part of any jit key, so mid-process env toggles are
+# deliberately inert; per-call control goes through the kwarg.
+_ED_FUSE_DEFAULT = os.environ.get("RTEN_ED_FUSE", "auto")
 from rten_tpu.kernels.attention import attention_reference, flash_attention
 
 
@@ -389,6 +396,7 @@ def decode(
     state: dict,
     *,
     use_flash: bool | None = None,
+    fused: bool | None = None,
 ) -> tuple[jax.Array, dict]:
     """Decoder forward appending ``tokens`` at state["len"]; returns
     (logits [B, T, vocab], new state)."""
@@ -438,18 +446,22 @@ def decode(
     # rides the quant GEMV / whole-MLP Pallas kernels with the layer norms,
     # biases, activations and residuals folded into the weight stream —
     # 5 kernels per layer-pair of work instead of ~8 kernels + ~10 XLA
-    # staging fusions. RTEN_ED_FUSE=0 forces the eager path, =1 forces the
-    # fused path (interpret-mode kernels — the CPU parity test hook).
-    import os as _os
-
+    # staging fusions. The ``fused`` kwarg forces the path per call; the
+    # module default comes from RTEN_ED_FUSE read once at import
+    # ("0" eager, "1" fused, "auto" = fused on TPU).
     from rten_tpu.kernels.quant_matmul import (
         mlp_fused_supported,
         quant_gemv_int8,
         quant_mlp_int8,
     )
 
-    _fuse_env = _os.environ.get("RTEN_ED_FUSE", "auto")
-    _kernels_on = dispatch.on_tpu() if _fuse_env == "auto" else _fuse_env == "1"
+    if fused is None:
+        _kernels_on = (
+            dispatch.on_tpu() if _ED_FUSE_DEFAULT == "auto"
+            else _ED_FUSE_DEFAULT == "1"
+        )
+    else:
+        _kernels_on = fused
     _interp = not dispatch.on_tpu()
     dm = cfg.d_model
     _l0 = params["dec_layers"][0]
@@ -679,9 +691,11 @@ def encode_jit(params, cfg: EncDecConfig, mel):
     return encode(params, cfg, mel)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_flash"), donate_argnums=(3,))
-def decode_step(params, cfg: EncDecConfig, tokens, state, *, use_flash=None):
-    return decode(params, cfg, tokens, state, use_flash=use_flash)
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "use_flash", "fused"), donate_argnums=(3,)
+)
+def decode_step(params, cfg: EncDecConfig, tokens, state, *, use_flash=None, fused=None):
+    return decode(params, cfg, tokens, state, use_flash=use_flash, fused=fused)
 
 
 def from_hf_whisper(hf_state: dict, cfg: EncDecConfig, dtype=None) -> dict:

@@ -193,6 +193,10 @@ class ServingEngine:
         self._rng = jax.random.PRNGKey(seed)
         self._ids = itertools.count()
         self.steps = 0
+        # Monotonic session-wide EOS-array width: the eos shape is part of
+        # _decode_k_steps' jit key, so a per-tick max would recompile when a
+        # many-stop-token request is admitted AND again when it retires.
+        self._eos_width = 4
 
     # -- public API -----------------------------------------------------------
 
@@ -239,11 +243,14 @@ class ServingEngine:
 
         active_np = np.array([s is not None for s in self.slots], bool)
         # eos array shape is part of the K-step program's jit key: pad to a
-        # fixed minimum width so the common 1-vs-2 stop-token churn in the
-        # active set never recompiles the decode scan mid-serving.
-        eos_width = max(
-            [len(s.eos_tokens) for s in self.slots if s is not None] + [4]
+        # MONOTONIC session max (floor 4) so stop-token churn in the active
+        # set recompiles the decode scan at most once per distinct width —
+        # never again when a wide request retires.
+        self._eos_width = max(
+            [len(s.eos_tokens) for s in self.slots if s is not None]
+            + [self._eos_width]
         )
+        eos_width = self._eos_width
         eos_np = np.full((self.max_batch, eos_width), -1, np.int64)
         budget_np = np.zeros((self.max_batch,), np.int32)
         for slot, req in enumerate(self.slots):

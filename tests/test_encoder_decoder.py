@@ -242,8 +242,8 @@ def test_encdec_generator_backend():
     assert toks == toks2
 
 
-def test_fused_decode_matches_eager(monkeypatch):
-    """RTEN_ED_FUSE=1 routes the t==1 int8 decode through the fused
+def test_fused_decode_matches_eager():
+    """fused=True routes the t==1 int8 decode through the fused
     GEMV/whole-MLP Pallas kernels (interpret mode on CPU); logits must match
     the eager int8 path step by step."""
     cfg = ed.EncDecConfig(
@@ -258,24 +258,24 @@ def test_fused_decode_matches_eager(monkeypatch):
     enc = ed.encode(qparams, cfg, mel)
     ids = rng.integers(0, 64, (1, 4)).astype(np.int32)
 
-    def run(fuse_env):
-        monkeypatch.setenv("RTEN_ED_FUSE", fuse_env)
+    def run(fuse):
         st = ed.init_decoder_state(qparams, cfg, enc)
         outs = []
         for i in range(ids.shape[1]):
             lg, st = ed.decode(
-                qparams, cfg, jnp.asarray(ids[:, i : i + 1]), st, use_flash=False
+                qparams, cfg, jnp.asarray(ids[:, i : i + 1]), st,
+                use_flash=False, fused=fuse,
             )
             outs.append(np.asarray(lg))
         return np.concatenate(outs, axis=1)
 
-    eager = run("0")
-    fused = run("1")
+    eager = run(False)
+    fused = run(True)
     rel = np.abs(fused - eager).max() / (np.abs(eager).max() + 1e-9)
     assert rel < 2e-2, rel
 
 
-def test_fused_decode_int8_kv(monkeypatch):
+def test_fused_decode_int8_kv():
     """Fused projections compose with the int8-KV decode attention kernel."""
     cfg = ed.EncDecConfig(
         n_mels=16, n_audio_ctx=32, vocab_size=64, d_model=256, n_heads=2,
@@ -289,21 +289,20 @@ def test_fused_decode_int8_kv(monkeypatch):
     enc = ed.encode(qparams, cfg, mel)
     ids = rng.integers(0, 64, (1, 3)).astype(np.int32)
 
-    def run(fuse_env, use_flash):
-        monkeypatch.setenv("RTEN_ED_FUSE", fuse_env)
+    def run(fuse, use_flash):
         st = ed.init_decoder_state(qparams, cfg, enc)
         outs = []
         for i in range(ids.shape[1]):
             lg, st = ed.decode(
                 qparams, cfg, jnp.asarray(ids[:, i : i + 1]), st,
-                use_flash=use_flash,
+                use_flash=use_flash, fused=fuse,
             )
             outs.append(np.asarray(lg))
         return np.concatenate(outs, axis=1)
 
-    eager = run("0", False)
+    eager = run(False, False)
     # use_flash=True engages the int8_fast decode-attention kernel
     # (interpret mode on CPU) alongside the fused projections.
-    fused = run("1", True)
+    fused = run(True, True)
     rel = np.abs(fused - eager).max() / (np.abs(eager).max() + 1e-9)
     assert rel < 3e-2, rel

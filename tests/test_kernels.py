@@ -511,35 +511,32 @@ def test_decode_attention_packed_qkv_matches_separate(rng):
     np.testing.assert_array_equal(np.asarray(v2), np.asarray(ref_v))
 
 
-def test_quant_matmul_int8_pipelined_parity(rng, monkeypatch):
-    """RTEN_PREFILL_PIPE=1 selects the K-pipelined dequant kernel (tile
+def test_quant_matmul_int8_pipelined_parity(rng):
+    """pipelined=True selects the K-pipelined dequant kernel (tile
     conversion overlapped with the previous dot); results must be identical
     across multiple K blocks, with and without bias/activation."""
-    monkeypatch.setenv("RTEN_PREFILL_PIPE", "1")
-    jax.clear_caches()  # flag read at trace time; drop the jaxpr cache too
-    try:
-        x = rng.standard_normal((32, 512)).astype(np.float32)
-        w = rng.standard_normal((512, 64)).astype(np.float32)
-        b = rng.standard_normal((64,)).astype(np.float32)
-        w_q, s = quantize_weights_int8(w, axis=-1)
-        out = quant_matmul_int8(
-            x, w_q, s, block_m=128, block_n=128, block_k=128, interpret=True
-        )
-        ref = x @ (w_q.astype(np.float32) * s)
-        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-3)
-        out_b = quant_matmul_int8(
-            x, w_q, s, b, activation="gelu",
-            block_m=128, block_n=128, block_k=128, interpret=True,
-        )
-        ref_b = np.asarray(jax.nn.gelu(ref + b, approximate=False))
-        np.testing.assert_allclose(np.asarray(out_b), ref_b, rtol=1e-4, atol=1e-3)
-        # single-K-block degenerate case (pipeline fill + one dot)
-        out_1 = quant_matmul_int8(
-            x, w_q, s, block_m=128, block_n=128, block_k=512, interpret=True
-        )
-        np.testing.assert_allclose(np.asarray(out_1), ref, rtol=1e-4, atol=1e-3)
-    finally:
-        jax.clear_caches()
+    x = rng.standard_normal((32, 512)).astype(np.float32)
+    w = rng.standard_normal((512, 64)).astype(np.float32)
+    b = rng.standard_normal((64,)).astype(np.float32)
+    w_q, s = quantize_weights_int8(w, axis=-1)
+    out = quant_matmul_int8(
+        x, w_q, s, block_m=128, block_n=128, block_k=128, interpret=True,
+        pipelined=True,
+    )
+    ref = x @ (w_q.astype(np.float32) * s)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-3)
+    out_b = quant_matmul_int8(
+        x, w_q, s, b, activation="gelu",
+        block_m=128, block_n=128, block_k=128, interpret=True, pipelined=True,
+    )
+    ref_b = np.asarray(jax.nn.gelu(ref + b, approximate=False))
+    np.testing.assert_allclose(np.asarray(out_b), ref_b, rtol=1e-4, atol=1e-3)
+    # single-K-block degenerate case (pipeline fill + one dot)
+    out_1 = quant_matmul_int8(
+        x, w_q, s, block_m=128, block_n=128, block_k=512, interpret=True,
+        pipelined=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_1), ref, rtol=1e-4, atol=1e-3)
 
 
 def test_quant_gemv_argmax_fused(rng):
@@ -579,8 +576,8 @@ def test_quant_gemv_argmax_fused(rng):
     np.testing.assert_array_equal(np.asarray(outb), refb)
 
 
-def test_decode_attention_batched_matches_per_cell(rng, monkeypatch):
-    """RTEN_BATCHED_ATTN=1 processes every batch row in ONE grid cell
+def test_decode_attention_batched_matches_per_cell(rng):
+    """batched=True processes every batch row in ONE grid cell
     (strided DMAs, (b·h)-batched online softmax); outputs and in-place
     cache writes must match the per-cell grid kernel exactly — unequal
     per-row lengths included."""
@@ -595,27 +592,20 @@ def test_decode_attention_batched_matches_per_cell(rng, monkeypatch):
     lens = np.array([0, 77, 256, 511], np.int32)
 
     def run(flag):
-        monkeypatch.setenv("RTEN_BATCHED_ATTN", flag)
-        # the env flag is read at trace time: drop BOTH the compilation
-        # cache and the jaxpr trace cache or the toggle is invisible
-        jax.clear_caches()
         return decode_attention(
             jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc),
             jnp.asarray(lens), jnp.asarray(kn), jnp.asarray(vn),
-            block_s=128, interpret=True,
+            block_s=128, interpret=True, batched=flag,
         )
 
-    try:
-        o0, k0, v0 = run("0")
-        o1, k1, v1 = run("1")
-    finally:
-        jax.clear_caches()
+    o0, k0, v0 = run(False)
+    o1, k1, v1 = run(True)
     np.testing.assert_array_equal(np.asarray(k1), np.asarray(k0))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), rtol=1e-5, atol=1e-5)
 
 
-def test_decode_attention_batched_packed_wo(rng, monkeypatch):
+def test_decode_attention_batched_packed_wo(rng):
     """Batched mode composes with the packed-qkv operand + fused W_o
     (the serving decode configuration)."""
     from rten_tpu.kernels.decode_attention import decode_attention
@@ -633,20 +623,16 @@ def test_decode_attention_batched_packed_wo(rng, monkeypatch):
     resid = rng.standard_normal((b, dm)).astype(np.float32)
 
     def run(flag):
-        monkeypatch.setenv("RTEN_BATCHED_ATTN", flag)
-        jax.clear_caches()  # see test above: the flag is read at trace time
         return decode_attention(
             None, jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(lens),
             None, None, jnp.asarray(wo_q), jnp.asarray(wo_s),
             jnp.asarray(bias), jnp.asarray(resid),
             packed_qkv=jnp.asarray(qkv), block_s=128, interpret=True,
+            batched=flag,
         )
 
-    try:
-        o0, k0, v0 = run("0")
-        o1, k1, v1 = run("1")
-    finally:
-        jax.clear_caches()
+    o0, k0, v0 = run(False)
+    o1, k1, v1 = run(True)
     np.testing.assert_array_equal(np.asarray(k1), np.asarray(k0))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), rtol=1e-4, atol=1e-4)
@@ -695,7 +681,7 @@ def test_quant_gemv_kblocked_parity(rng):
     )
 
 
-def test_decode_attention_int8_batched_matches_per_cell(rng, monkeypatch):
+def test_decode_attention_int8_batched_matches_per_cell(rng):
     """Int8-KV twin of the batched single-cell mode: outputs, in-place int8
     cache writes, and spliced scales must match the per-cell grid kernel."""
     from rten_tpu.kernels.decode_attention import (
@@ -722,19 +708,14 @@ def test_decode_attention_int8_batched_matches_per_cell(rng, monkeypatch):
     lens = np.array([0, 63, 130, 511], np.int32)
 
     def run(flag):
-        monkeypatch.setenv("RTEN_BATCHED_ATTN", flag)
-        jax.clear_caches()  # flag read at trace time
         return decode_attention_int8(
             jnp.asarray(q), jnp.asarray(kq), jnp.asarray(vq), ksp, vsp,
             jnp.asarray(lens), jnp.asarray(kn), jnp.asarray(vn),
-            block_s=256, interpret=True,
+            block_s=256, interpret=True, batched=flag,
         )
 
-    try:
-        o0, k0, v0, ks0, vs0 = run("0")
-        o1, k1, v1, ks1, vs1 = run("1")
-    finally:
-        jax.clear_caches()
+    o0, k0, v0, ks0, vs0 = run(False)
+    o1, k1, v1, ks1, vs1 = run(True)
     np.testing.assert_array_equal(np.asarray(k1), np.asarray(k0))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
     np.testing.assert_array_equal(np.asarray(ks1), np.asarray(ks0))
