@@ -1,11 +1,16 @@
 """Text-to-speech synthesis (Piper-style) writing a .wav file.
 
 TPU-native counterpart of rten-examples/src/piper.rs: text → phoneme-ish id
-sequence → acoustic model (tiny native decoder predicting per-frame f0 +
-amplitude) → harmonic synthesizer → 16-bit PCM WAV via the stdlib wave
-module (the reference writes WAV via hound).
+sequence → acoustic model → waveform → 16-bit PCM WAV via rten_tpu.audio
+(the reference writes WAV via hound).
 
-    python examples/piper.py --demo --out speech.wav
+    python examples/piper.py --demo --out speech.wav     # inline demo model
+    python examples/piper.py --model tts.rten --text "hi" --out speech.wav
+
+``--model`` takes a .rten graph whose first input is the phoneme id
+sequence [1, N] int32 and whose first output is the waveform (any shape
+flattening to samples) — run through rten_tpu.Model like the reference's
+VITS export through Model::run.
 """
 
 from __future__ import annotations
@@ -23,6 +28,7 @@ def main(argv=None):
     p.add_argument("--text", default="hello world")
     p.add_argument("--out", help="output .wav path")
     p.add_argument("--sr", type=int, default=16000)
+    p.add_argument("--model", help="TTS model as .rten ([1,N] ids → waveform)")
     args = p.parse_args(argv)
 
     import jax
@@ -37,6 +43,21 @@ def main(argv=None):
         [charset.index(c) for c in args.text.lower() if c in charset], np.int32
     )
     print(f"text {args.text!r} -> {len(ids)} phonemes")
+
+    sr = args.sr
+    if args.model:
+        from rten_tpu import Model
+
+        m = Model.load_file(args.model)
+        out = m.run([ids[None]])[0]
+        wav = np.asarray(out, np.float32).reshape(-1)
+        print(f"loaded {args.model}: {len(wav) / sr:.2f}s through Model.run")
+        if args.out:
+            from rten_tpu.audio import write_wav
+
+            write_wav(args.out, np.clip(wav, -1.0, 1.0), sr)
+            print(f"wrote {args.out}")
+        return 0
 
     # Acoustic model: encoder over phonemes → per-phoneme (duration, f0, amp).
     cfg = bert.BertConfig(
@@ -53,7 +74,6 @@ def main(argv=None):
     amp = 0.2 + 0.6 * (1 / (1 + np.exp(-acoustics[:, 2])))
 
     # Harmonic synthesis per phoneme.
-    sr = args.sr
     chunks = []
     for di, fi, ai in zip(dur, f0, amp):
         n = int(di * sr)
@@ -69,14 +89,9 @@ def main(argv=None):
     print(f"synthesized {len(wav) / sr:.2f}s of audio")
 
     if args.out:
-        import wave
+        from rten_tpu.audio import write_wav
 
-        pcm = np.clip(wav * 32767, -32768, 32767).astype(np.int16)
-        with wave.open(args.out, "wb") as f:
-            f.setnchannels(1)
-            f.setsampwidth(2)
-            f.setframerate(sr)
-            f.writeframes(pcm.tobytes())
+        write_wav(args.out, np.clip(wav, -1.0, 1.0), sr)
         print(f"wrote {args.out}")
     return 0
 
