@@ -71,6 +71,22 @@ def synthetic_audio(
     return wav, sr
 
 
+def load_image_arg(path: str, size: int | None = None) -> np.ndarray:
+    """Read an image file as CHW f32 in [0, 1] (rten_tpu.image.io ≙
+    rten-imageio), bilinearly resized to size×size when asked — the
+    examples' real-input path (reference: imagenet.rs:56-100)."""
+    from rten_tpu.image.io import read_image
+
+    chw = read_image(path)
+    if size is not None and chw.shape[1:] != (size, size):
+        import jax
+
+        chw = np.asarray(
+            jax.image.resize(chw, (3, size, size), "bilinear"), np.float32
+        )
+    return chw
+
+
 def word_vocab(words: list[str]) -> dict[str, int]:
     """WordPiece-style vocab over whole words + specials."""
     vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3}

@@ -7,6 +7,12 @@ softmax + cxcywh box regression; "no object" class filtered out, boxes
 scaled back to pixels — exactly the reference's post-processing.
 
     python examples/detr.py --demo
+    python examples/detr.py --image street.png --model detr.rten
+
+``--model`` takes an exported .rten DETR (the reference loads converted
+facebook/detr exports, detr.rs): input [1, 3, H, W]; outputs per-query
+class logits [1, Q, C+1] (last class = "no object") and boxes [1, Q, 4]
+cxcywh normalized to [0, 1] — exactly the upstream output contract.
 """
 
 from __future__ import annotations
@@ -22,45 +28,36 @@ def main(argv=None):
     argv = common.force_cpu_if_requested(argv or sys.argv[1:])
     p = common.make_parser(__doc__)
     p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--image", help="input image file (PNG/BMP/…)")
+    p.add_argument(
+        "--model", help="DETR as .rten ([1,3,H,W] → logits [1,Q,C+1], boxes [1,Q,4])"
+    )
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from rten_tpu.models import resnet, vit
+    size = 64
+    if args.image:
+        chw = common.load_image_arg(args.image, size)
+        print(f"image: {args.image} -> {chw.shape}")
+    else:
+        chw = common.synthetic_image(size, size, args.seed)
 
-    size, n_classes, n_queries = 64, 4, 8
-    chw = common.synthetic_image(size, size, args.seed)
+    if args.model:
+        from rten_tpu import Model
 
-    cfg = resnet.ResNetConfig(block="basic", stage_sizes=(1, 1), width=8)
-    params = resnet.init_params(jax.random.PRNGKey(args.seed), cfg)
-    feats = resnet.forward(params, cfg, jnp.asarray(chw[None]), features=True)
-    b, c, gh, gw = feats.shape
-    tokens = feats.reshape(b, c, gh * gw).transpose(0, 2, 1)  # [B, N, C]
-
-    # Transformer encoder over feature tokens (ViT blocks, no cls token).
-    enc_cfg = vit.ViTConfig(
-        image_size=gh * 8, patch_size=8, n_layers=2, n_heads=2,
-        d_model=c, d_ff=4 * c, use_cls_token=False,
-    )
-    enc_params = vit.init_params(jax.random.PRNGKey(args.seed + 1), enc_cfg)
-    x = tokens + enc_params["pos_emb"][None, : tokens.shape[1]]
-    for layer in enc_params["layers"]:
-        x = _block(x, layer, enc_cfg)
-
-    # Object queries attend to encoder memory (single cross-attention read).
-    rng = jax.random.PRNGKey(args.seed + 2)
-    queries = jax.random.normal(rng, (n_queries, c)) * 0.5
-    attn = jax.nn.softmax(queries @ x[0].T / np.sqrt(c), axis=-1)
-    q_feats = attn @ x[0]  # [n_queries, C]
-
-    w_cls = jax.random.normal(jax.random.PRNGKey(3), (c, n_classes + 1)) * 0.5
-    w_box = jax.random.normal(jax.random.PRNGKey(4), (c, 4)) * 0.5
-    cls_p = jax.nn.softmax(q_feats @ w_cls, axis=-1)  # last col = "no object"
-    boxes = jax.nn.sigmoid(q_feats @ w_box)  # cxcywh in [0,1]
-
-    cls_np, box_np = np.asarray(cls_p), np.asarray(boxes)
+        m = Model.load_file(args.model)
+        logits, boxes = m.run([chw[None]])[:2]
+        cls_p = jax.nn.softmax(jnp.asarray(np.asarray(logits)), axis=-1)[0]
+        boxes = jnp.asarray(np.asarray(boxes))[0]
+        n_queries = cls_p.shape[0]
+        print(f"loaded {args.model}: {n_queries} queries through Model.run")
+        cls_np, box_np = np.asarray(cls_p), np.asarray(boxes)
+    else:
+        n_queries = 8
+        cls_np, box_np = _demo_queries(chw, args.seed, n_queries)
     kept = 0
     for qi in range(n_queries):
         cls = int(cls_np[qi, :-1].argmax())
@@ -75,6 +72,44 @@ def main(argv=None):
         kept += 1
     print(f"{kept}/{n_queries} queries above threshold {args.threshold}")
     return 0
+
+
+def _demo_queries(chw, seed, n_queries):
+    """Seeded backbone + encoder + query head (no checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rten_tpu.models import resnet, vit
+
+    n_classes = 4
+    cfg = resnet.ResNetConfig(block="basic", stage_sizes=(1, 1), width=8)
+    params = resnet.init_params(jax.random.PRNGKey(seed), cfg)
+    feats = resnet.forward(params, cfg, jnp.asarray(chw[None]), features=True)
+    b, c, gh, gw = feats.shape
+    tokens = feats.reshape(b, c, gh * gw).transpose(0, 2, 1)  # [B, N, C]
+
+    # Transformer encoder over feature tokens (ViT blocks, no cls token).
+    enc_cfg = vit.ViTConfig(
+        image_size=gh * 8, patch_size=8, n_layers=2, n_heads=2,
+        d_model=c, d_ff=4 * c, use_cls_token=False,
+    )
+    enc_params = vit.init_params(jax.random.PRNGKey(seed + 1), enc_cfg)
+    x = tokens + enc_params["pos_emb"][None, : tokens.shape[1]]
+    for layer in enc_params["layers"]:
+        x = _block(x, layer, enc_cfg)
+
+    # Object queries attend to encoder memory (single cross-attention read).
+    rng = jax.random.PRNGKey(seed + 2)
+    queries = jax.random.normal(rng, (n_queries, c)) * 0.5
+    attn = jax.nn.softmax(queries @ x[0].T / np.sqrt(c), axis=-1)
+    q_feats = attn @ x[0]  # [n_queries, C]
+
+    w_cls = jax.random.normal(jax.random.PRNGKey(3), (c, n_classes + 1)) * 0.5
+    w_box = jax.random.normal(jax.random.PRNGKey(4), (c, 4)) * 0.5
+    cls_p = jax.nn.softmax(q_feats @ w_cls, axis=-1)  # last col = "no object"
+    boxes = jax.nn.sigmoid(q_feats @ w_box)  # cxcywh in [0,1]
+    return np.asarray(cls_p), np.asarray(boxes)
 
 
 def _block(x, layer, cfg):
