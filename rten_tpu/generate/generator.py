@@ -147,19 +147,41 @@ class GraphBackend:
             if n.startswith("present")
         }
         if mode is None:
-            # Auto-select compiled only when the graph ALSO takes explicit
-            # position_ids: a graph that derives positions from the past-KV
-            # length (instead of the mask/positions we feed) would read the
-            # padded bucket length as the position. Mask-honoring graphs
-            # without position_ids can opt in with mode="compiled" if their
-            # positions come from the attention-mask cumsum.
+            # Auto-select compiled when the graph takes explicit position_ids
+            # (we feed exact positions), OR when its positions provably come
+            # from a CumSum over the attention_mask (the HF-Optimum no-
+            # position-ids export pattern): under the bucketed mask (ones on
+            # [0,L), zeros over the gap, ones on the tail) cumsum(mask)-1
+            # yields the true position at every valid column, so padding is
+            # exact. A graph that instead derives positions from the past-KV
+            # SHAPE would read the padded bucket length — those stay on the
+            # interpret path (and can opt in with mode="compiled").
             mode = (
                 "compiled"
                 if self.attention_mask_name
-                and self.position_ids_name
                 and self.cache_inputs
+                and (self.position_ids_name or self._positions_from_mask())
                 else "interpret"
             )
+            if mode == "interpret":
+                import warnings
+
+                why = (
+                    "no attention_mask input"
+                    if self.attention_mask_name is None
+                    else "positions not derivable from the attention_mask "
+                    "(no position_ids input and no CumSum-over-mask pattern)"
+                )
+                warnings.warn(
+                    f"GraphBackend: falling back to EXACT-SHAPE INTERPRET "
+                    f"execution ({why}) — one op-by-op dispatch per token, "
+                    f"orders of magnitude slower than the compiled bucketed "
+                    f"path. Re-export the graph with attention_mask/"
+                    f"position_ids inputs, pass mode='compiled' if the graph "
+                    f"is mask-exact anyway, or auto-lift onto the native "
+                    f"decoder kernels (rten_tpu.models.lift).",
+                    stacklevel=2,
+                )
         if mode == "compiled" and self.attention_mask_name is None:
             # The compiled path marks KV validity through the mask; without
             # one the graph would attend over bucket padding (and the step
@@ -189,6 +211,38 @@ class GraphBackend:
             shape = self.model.input_shape(nid) or []
             metas[name] = shape
         return metas
+
+    def _positions_from_mask(self) -> bool:
+        """True when the graph's positions provably derive from the
+        attention_mask: some CumSum consumes a value reachable from the mask
+        input, and no Shape op reads a past-KV input (which would make
+        lengths/positions sensitive to the padded bucket length)."""
+        from rten_tpu.graph import OperatorNode
+
+        graph = self.model.graph
+        ops = [n for n in graph.nodes if isinstance(n, OperatorNode)]
+        kv_ids = {self.model.node_id(n) for n in self.cache_inputs}
+        if any(
+            op.op_type == "Shape" and any(i in kv_ids for i in op.inputs if i is not None)
+            for op in ops
+        ):
+            return False
+        reachable = {self.model.node_id(self.attention_mask_name)}
+        changed = True
+        found_cumsum = False
+        while changed and not found_cumsum:
+            changed = False
+            for op in ops:
+                ins = [i for i in op.inputs if i is not None]
+                if any(i in reachable for i in ins):
+                    if op.op_type == "CumSum":
+                        found_cumsum = True
+                        break
+                    for o in op.outputs:
+                        if o is not None and o not in reachable:
+                            reachable.add(o)
+                            changed = True
+        return found_cumsum
 
     def reset(self) -> None:
         self.cache = {}

@@ -214,3 +214,153 @@ def test_hoisting_reduces_per_step_ops_and_stays_exact():
     hoist_id = model.node_id("scaled_bias_out")
     hoisted_plan = g.create_plan(model.input_ids + [hoist_id], [out_id])
     assert len(hoisted_plan) < len(full_plan)
+
+
+def build_decoder_graph_no_posids(rng, kv_shape_positions=False):
+    """HF-Optimum no-position-ids export pattern: the graph takes only
+    input_ids/attention_mask/past_* and derives every position from
+    cumsum(attention_mask)-1 — query positions via shape-math Slice of the
+    cumsum tail (Shape ops fold at trace time). With ``kv_shape_positions``
+    a Shape op reads the past-KV input instead (bucket-length-sensitive),
+    which must keep the backend on the interpret path."""
+    g = Graph()
+    ids = g.add_value("input_ids", ["batch", None])
+    mask = g.add_value("attention_mask", ["batch", None])
+    pk_in = g.add_value("past_key_values.0.key", ["batch", None, D])
+    pv_in = g.add_value("past_key_values.0.value", ["batch", None, D])
+    g.inputs = [ids, mask, pk_in, pv_in]
+
+    def c(name, arr):
+        return g.add_constant(name, np.asarray(arr))
+
+    wte = c("wte", rng.standard_normal((V, D)).astype(np.float32) * 0.5)
+    wpe = c("wpe", rng.standard_normal((MAXPOS, D)).astype(np.float32) * 0.1)
+    wq = c("wq", rng.standard_normal((D, D)).astype(np.float32) * 0.3)
+    wk = c("wk", rng.standard_normal((D, D)).astype(np.float32) * 0.3)
+    wv = c("wv", rng.standard_normal((D, D)).astype(np.float32) * 0.3)
+    wo = c("wo", rng.standard_normal((D, D)).astype(np.float32) * 0.3)
+    wlm = c("wlm", rng.standard_normal((D, V)).astype(np.float32) * 0.5)
+
+    # kpos = cumsum(mask) - 1 over the full (padded) column axis.
+    mf = g.add_simple_op("Cast", [mask], {"to": "float32"}, name="mf")
+    one_ax = c("one_ax", np.int32(1))
+    csum = g.add_simple_op("CumSum", [mf, one_ax], name="csum")
+    onef = c("onef", np.float32(1.0))
+    kpos = g.add_simple_op("Sub", [csum, onef], name="kpos")
+
+    # Query positions = the cumsum tail at the t new columns, via shape math:
+    # Slice(kpos, S - t, S, axis 1) with S/t read from Shape ops.
+    shp_src = pk_in if kv_shape_positions else ids
+    shp_ids = g.add_simple_op("Shape", [shp_src], name="shp_ids")
+    idx1 = c("idx1", np.int32(1))
+    t_dim = g.add_simple_op("Gather", [shp_ids, idx1], {"axis": 0}, name="t_dim")
+    shp_mask = g.add_simple_op("Shape", [mask], name="shp_mask")
+    s_dim = g.add_simple_op("Gather", [shp_mask, idx1], {"axis": 0}, name="s_dim")
+    start0 = g.add_simple_op("Sub", [s_dim, t_dim], name="start0")
+    ax0 = c("ax0", np.int32([0]))
+    start = g.add_simple_op("Unsqueeze", [start0, ax0], name="start")
+    end = g.add_simple_op("Unsqueeze", [s_dim, ax0], name="end")
+    ax_seq = c("ax_seq", np.int32([1]))
+    qposf = g.add_simple_op("Slice", [kpos, start, end, ax_seq], name="qposf")
+    qpos_i = g.add_simple_op("Cast", [qposf], {"to": "int32"}, name="qpos_i")
+
+    emb = g.add_simple_op("Gather", [wte, ids], {"axis": 0}, name="emb")
+    pemb = g.add_simple_op("Gather", [wpe, qpos_i], {"axis": 0}, name="pemb")
+    x = g.add_simple_op("Add", [emb, pemb], name="x")
+
+    q = g.add_simple_op("MatMul", [x, wq], name="q")
+    k = g.add_simple_op("MatMul", [x, wk], name="k")
+    v = g.add_simple_op("MatMul", [x, wv], name="v")
+
+    pk = g.add_value("present.0.key")
+    g.add_operator("concat_k", "Concat", {"axis": 1}, [pk_in, k], [pk])
+    pv = g.add_value("present.0.value")
+    g.add_operator("concat_v", "Concat", {"axis": 1}, [pv_in, v], [pv])
+
+    pk_t = g.add_simple_op("Transpose", [pk], {"perm": [0, 2, 1]}, name="pk_t")
+    raw = g.add_simple_op("MatMul", [q, pk_t], name="scores_raw")
+    scale = c("scale", np.float32(1.0 / np.sqrt(D)))
+    scores = g.add_simple_op("Mul", [raw, scale], name="scores")
+
+    ax1 = c("ax1", np.int32([1]))
+    ax2 = c("ax2", np.int32([2]))
+    kpos_b = g.add_simple_op("Unsqueeze", [kpos, ax1], name="kpos_b")  # [B,1,S]
+    qpos_b = g.add_simple_op("Unsqueeze", [qposf, ax2], name="qpos_b")  # [B,T,1]
+    causal = g.add_simple_op("LessOrEqual", [kpos_b, qpos_b], name="causal")
+    mask_b = g.add_simple_op("Unsqueeze", [mask, ax1], name="mask_b")  # [B,1,S]
+    valid = g.add_simple_op("Mul", [causal, mask_b], name="valid")
+    validf = g.add_simple_op("Cast", [valid], {"to": "float32"}, name="validf")
+    vm1 = g.add_simple_op("Sub", [validf, onef], name="vm1")
+    big = c("big", np.float32(1e9))
+    bias = g.add_simple_op("Mul", [vm1, big], name="bias")
+    masked = g.add_simple_op("Add", [scores, bias], name="masked")
+
+    probs = g.add_simple_op("Softmax", [masked], {"axis": -1}, name="probs")
+    ctx = g.add_simple_op("MatMul", [probs, pv], name="ctx")
+    proj = g.add_simple_op("MatMul", [ctx, wo], name="proj")
+    h = g.add_simple_op("Add", [proj, x], name="h")
+    logits = g.add_value("logits")
+    g.add_operator("lm", "MatMul", {}, [h, wlm], [logits])
+
+    g.outputs = [logits, pk, pv]
+    return g
+
+
+def test_no_posids_cumsum_graph_auto_compiles():
+    """VERDICT r3 item 9: a mask-honoring graph WITHOUT a position_ids input
+    (positions from cumsum(attention_mask)) — previously an interpret-only
+    fallback — now auto-selects the compiled bucketed path and stays
+    token-exact across a bucket boundary."""
+    rng = np.random.default_rng(4)
+    model = Model(
+        build_decoder_graph_no_posids(rng),
+        options=ModelOptions(enable_optimization=False),
+    )
+    be = GraphBackend(model)
+    assert be.mode == "compiled"
+    prompt = [3, 7, 1, 9]
+    compiled = _generate(be, prompt, 40)
+    legacy = _generate(GraphBackend(model, mode="interpret"), prompt, 40)
+    assert compiled == legacy
+
+
+def test_kv_shape_positions_stay_interpret_and_warn():
+    """A graph whose shape math reads the past-KV input is bucket-length-
+    sensitive: auto mode must stay on interpret and say so loudly."""
+    rng = np.random.default_rng(4)
+    model = Model(
+        build_decoder_graph_no_posids(rng, kv_shape_positions=True),
+        options=ModelOptions(enable_optimization=False),
+    )
+    with pytest.warns(UserWarning, match="EXACT-SHAPE INTERPRET"):
+        be = GraphBackend(model)
+    assert be.mode == "interpret"
+
+
+def test_maskless_graph_warns_with_reason():
+    rng = np.random.default_rng(5)
+    g = Graph()
+    ids = g.add_value("input_ids", ["batch", None])
+    pk_in = g.add_value("past_key_values.0.key", ["batch", None, D])
+    pv_in = g.add_value("past_key_values.0.value", ["batch", None, D])
+    g.inputs = [ids, pk_in, pv_in]
+    wte = g.add_constant("wte", rng.standard_normal((V, D)).astype(np.float32))
+    wlm = g.add_constant("wlm", rng.standard_normal((D, V)).astype(np.float32))
+    emb = g.add_simple_op("Gather", [wte, ids], {"axis": 0}, name="emb")
+    pk = g.add_value("present.0.key")
+    g.add_operator("concat_k", "Concat", {"axis": 1}, [pk_in, emb], [pk])
+    pv = g.add_value("present.0.value")
+    g.add_operator("concat_v", "Concat", {"axis": 1}, [pv_in, emb], [pv])
+    logits = g.add_value("logits")
+    g.add_operator("lm", "MatMul", {}, [emb, wlm], [logits])
+    g.outputs = [logits, pk, pv]
+    model = Model(g, options=ModelOptions(enable_optimization=False))
+    with pytest.warns(UserWarning, match="no attention_mask input"):
+        be = GraphBackend(model)
+    assert be.mode == "interpret"
+    # explicit modes never warn
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("error")
+        GraphBackend(model, mode="interpret")
