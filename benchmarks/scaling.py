@@ -30,6 +30,12 @@ def main(argv=None):
     p.add_argument("--d-model", type=int, default=256)
     p.add_argument("--steps", type=int, default=48)
     p.add_argument("--batch-per-data", type=int, default=4)
+    p.add_argument(
+        "--reps", type=int, default=3,
+        help="repeat each mesh measurement; keep the fastest (the virtual-"
+        "CPU proxy timeshares one host and has large run-to-run variance — "
+        "min over reps is the same discipline the TPU bench uses)",
+    )
     args = p.parse_args(argv)
 
     if args.virtual:
@@ -89,9 +95,40 @@ def main(argv=None):
             return toks
 
         short = max(2, args.steps // 4)
-        step_s = marginal_step_time(run_at, short, max(args.steps, short + 4))
+        step_s = min(
+            marginal_step_time(run_at, short, max(args.steps, short + 4))
+            for _ in range(max(1, args.reps))
+        )
         tok_s = batch / step_s
-        results.append({"mesh": f"{d}x{m}", "devices": d * m, "tokens_per_s": tok_s})
+
+        # Collective census of the compiled per-mesh program (definitions
+        # only): the deterministic, hardware-independent half of the
+        # overhead story. A Megatron-minimal decode is 1 embedding psum +
+        # 2 all-reduces per layer + the tiny sampling all-gathers.
+        import jax as _jax
+
+        n_probe = 4
+        fn = _jax.jit(
+            lambda p, c, t, _params=params, _mesh=mesh: decoder.generate_scan(
+                _params, cfg, c, t, _jax.random.PRNGKey(0),
+                n_steps=n_probe, use_flash=False,
+            )
+        )
+        cache0 = shard_cache(decoder.init_cache(cfg, batch, cfg.max_seq), mesh)
+        hlo = fn.lower(params, cache0, jnp.zeros((batch, 1), jnp.int32)).compile().as_text()
+        collectives = {
+            k: hlo.count(f" {k}(")
+            for k in ("all-reduce", "all-gather", "collective-permute",
+                      "reduce-scatter", "all-to-all")
+        }
+        results.append(
+            {
+                "mesh": f"{d}x{m}",
+                "devices": d * m,
+                "tokens_per_s": tok_s,
+                "collectives_per_step_program": collectives,
+            }
+        )
 
     if results:
         base = results[0]
@@ -110,11 +147,16 @@ def main(argv=None):
     out = {
         "backend": "cpu-virtual" if args.virtual else None,
         "physical_cores": os.cpu_count(),
+        "reps": args.reps,
         "efficiency_basis": (
             "scaling_efficiency = tokens_per_s vs linear-in-devices from the "
             "first mesh (real multi-chip metric); fixed_silicon_efficiency = "
             "tokens_per_s vs the unsharded run on the SAME silicon (virtual-"
-            "mesh proxy: bounds sharding/collective overhead)"
+            "mesh proxy: bounds sharding/collective overhead). CAVEAT: on a "
+            "single-core host the proxy timeshares every virtual device and "
+            "has been measured to swing ±25% run to run (a zero-collective "
+            "DP-only mesh read 1.26 once); compare against a DxM=Dx1 control "
+            "and the collective census before attributing drops to sharding."
         ),
         "results": results,
     }
