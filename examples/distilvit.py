@@ -21,6 +21,9 @@ def main(argv=None):
     argv = common.force_cpu_if_requested(argv or sys.argv[1:])
     p = common.make_parser(__doc__)
     p.add_argument("-n", "--max-tokens", type=int, default=8)
+    p.add_argument("--image", help="input image file (PNG/BMP/…)")
+    p.add_argument("--encoder", help="ViT encoder as .rten ([1,3,H,W] → [1,N,D])")
+    p.add_argument("--decoder", help="HF-Optimum-convention caption decoder as .rten")
     args = p.parse_args(argv)
 
     import jax
@@ -31,7 +34,32 @@ def main(argv=None):
     from rten_tpu.models import vit
 
     size, d = 32, 64
-    chw = common.synthetic_image(size, size, args.seed)
+    if args.image:
+        chw = common.load_image_arg(args.image, size)
+        print(f"image: {args.image} -> {chw.shape}")
+    else:
+        chw = common.synthetic_image(size, size, args.seed)
+
+    if args.encoder and args.decoder:
+        from rten_tpu import Model
+        from rten_tpu.generate import Generator, GeneratorConfig
+        from rten_tpu.generate.generator import GraphBackend
+
+        enc_m = Model.load_file(args.encoder)
+        enc_states = np.asarray(enc_m.run([chw[None]])[0], np.float32)
+        dec_m = Model.load_file(args.decoder)
+        be = GraphBackend(
+            dec_m, constant_inputs={"encoder_hidden_states": enc_states}
+        )
+        print(
+            f"loaded encoder+decoder: memory {enc_states.shape}, "
+            f"decoder mode {be.mode}"
+        )
+        gen = Generator(be, GeneratorConfig(max_tokens=args.max_tokens)).with_prompt([0])
+        words = [f"w{i}" for i in range(9999)]
+        caption = [words[int(t[0])] for t in gen]
+        print("caption tokens:", " ".join(caption))
+        return 0
 
     vit_cfg = vit.ViTConfig(
         image_size=size, patch_size=8, n_layers=2, n_heads=2,

@@ -5,6 +5,14 @@ ViT-style line encoder → encoder-decoder cross-attention → autoregressive
 character decode until EOS.
 
     python examples/trocr.py --demo
+    python examples/trocr.py --image line.png --encoder enc.rten --decoder dec.rten
+
+``--encoder``/``--decoder`` take the exported .rten graph PAIR the reference
+runs (trocr.rs loads encoder + decoder models): the encoder maps
+[1, 3, H, W] → [1, N, D] memory; the decoder follows HF-Optimum decoder
+conventions (input_ids, encoder_hidden_states, past_key_values.0.decoder.*)
+and is driven by rten_tpu.generate.GraphBackend with the encoder memory as
+a hoisted constant input.
 """
 
 from __future__ import annotations
@@ -22,6 +30,9 @@ def main(argv=None):
     argv = common.force_cpu_if_requested(argv or sys.argv[1:])
     p = common.make_parser(__doc__)
     p.add_argument("-n", "--max-chars", type=int, default=12)
+    p.add_argument("--image", help="text-line image file (PNG/BMP/…)")
+    p.add_argument("--encoder", help="line encoder as .rten ([1,3,H,W] → [1,N,D])")
+    p.add_argument("--decoder", help="HF-Optimum-convention decoder as .rten")
     args = p.parse_args(argv)
 
     import jax
@@ -33,10 +44,43 @@ def main(argv=None):
 
     # A text line is a wide, short strip.
     h, w, d = 16, 64, 64
-    rng = np.random.default_rng(args.seed)
-    line = np.clip(
-        0.9 - 0.8 * (rng.random((3, h, w)) < 0.2), 0.0, 1.0
-    ).astype(np.float32)
+    if args.image:
+        from rten_tpu.image.io import read_image
+
+        line = read_image(args.image)
+        if line.shape[1:] != (h, w):
+            line = np.asarray(
+                jax.image.resize(line, (3, h, w), "bilinear"), np.float32
+            )
+        print(f"image: {args.image} -> {line.shape}")
+    else:
+        rng = np.random.default_rng(args.seed)
+        line = np.clip(
+            0.9 - 0.8 * (rng.random((3, h, w)) < 0.2), 0.0, 1.0
+        ).astype(np.float32)
+
+    if args.encoder and args.decoder:
+        from rten_tpu import Model
+        from rten_tpu.generate import Generator, GeneratorConfig
+        from rten_tpu.generate.generator import GraphBackend
+
+        enc_m = Model.load_file(args.encoder)
+        enc_states = np.asarray(enc_m.run([line[None]])[0], np.float32)
+        dec_m = Model.load_file(args.decoder)
+        be = GraphBackend(
+            dec_m, constant_inputs={"encoder_hidden_states": enc_states}
+        )
+        print(
+            f"loaded encoder+decoder: memory {enc_states.shape}, "
+            f"decoder mode {be.mode}"
+        )
+        eos = CHARSET.index(">")
+        gen = Generator(
+            be, GeneratorConfig(max_tokens=args.max_chars, eos_tokens=(eos,))
+        ).with_prompt([CHARSET.index("<")])
+        out = [CHARSET[int(t[0])] for t in gen if int(t[0]) != eos]
+        print(f"recognized: {''.join(out)!r}")
+        return 0
 
     vit_cfg = vit.ViTConfig(
         image_size=None, patch_size=8, n_layers=2, n_heads=2,

@@ -129,6 +129,11 @@ class GraphBackend:
         self.input_ids_name = "input_ids"
         self.attention_mask_name = "attention_mask" if "attention_mask" in names else None
         self.position_ids_name = "position_ids" if "position_ids" in names else None
+        # Optimum MERGED decoder exports take an explicit branch selector:
+        # 0 → compute caches fresh (first step), 1 → reuse the past inputs.
+        self.use_cache_branch_name = (
+            "use_cache_branch" if "use_cache_branch" in names else None
+        )
         self.cache_inputs: list[str] = [
             n for n in names if any(p.match(n) for p in self.CACHE_PATTERNS)
         ]
@@ -141,11 +146,21 @@ class GraphBackend:
                 "loses its lift-able initializers)"
             )
         self.logits_name = "logits" if "logits" in out_names else out_names[0]
+        # present.N[.decoder|.encoder].key|value → the matching past input
+        # name. The .decoder/.encoder segments are PRESERVED — enc-dec
+        # exports (Whisper/TrOCR-class, reference KvCacheData cross-attention
+        # handling, generator.rs:59-66) distinguish growing self-attn caches
+        # from static cross-attn caches by exactly these segments.
         self.cache_outputs = {
-            n: n.replace("present", "past_key_values").replace(".decoder", "").replace(".encoder", "")
+            n: n.replace("present", "past_key_values", 1)
             for n in out_names
             if n.startswith("present")
         }
+        # Cross-attention (encoder) caches are projections of the encoder
+        # states: computed once, never appended, seq axis = encoder length.
+        self.static_cache = frozenset(
+            n for n in self.cache_inputs if ".encoder." in n
+        )
         if mode is None:
             # Auto-select compiled when the graph takes explicit position_ids
             # (we feed exact positions), OR when its positions provably come
@@ -282,6 +297,10 @@ class GraphBackend:
             inputs[self.attention_mask_name] = np.ones((batch, new_len), np.int32)
         if self.position_ids_name:
             inputs[self.position_ids_name] = np.arange(self.seq_len, new_len, dtype=np.int32)[None, :].repeat(batch, 0)
+        if self.use_cache_branch_name:
+            inputs[self.use_cache_branch_name] = np.asarray(
+                [0 if self.seq_len == 0 else 1], np.int32
+            )
         for name in self.cache_inputs:
             inputs[name] = self.cache.get(name)
             if inputs[name] is None:
@@ -297,8 +316,11 @@ class GraphBackend:
     # -- compiled bucketed path ----------------------------------------------
 
     def _grow_cache(self, target: int) -> None:
-        """Pad every KV buffer's sequence axis to ``target`` (next bucket)."""
+        """Pad every GROWING KV buffer's sequence axis to ``target`` (next
+        bucket); static cross-attn caches keep the encoder length."""
         for name, buf in self.cache.items():
+            if name in self.static_cache:
+                continue
             pad = [(0, 0)] * buf.ndim
             pad[-2] = (0, target - buf.shape[-2])
             self.cache[name] = jnp.pad(buf, pad)
@@ -330,11 +352,17 @@ class GraphBackend:
             self._bucket = _len_bucket(t + 1)
             for out_name, present in zip(list(self.cache_outputs.keys()), outs[1:]):
                 present = jnp.asarray(present)
+                key = self.cache_outputs[out_name]
+                if key in self.static_cache:
+                    # Cross-attn cache: encoder-length seq axis, stored
+                    # exactly, never padded or appended.
+                    self.cache[key] = present
+                    continue
                 pad = [(0, 0)] * present.ndim
                 pad[-2] = (0, self._bucket - present.shape[-2])
                 # Only the first t seq entries are real; the padding beyond
                 # stays masked until overwritten by decode appends.
-                self.cache[self.cache_outputs[out_name]] = jnp.pad(present, pad)
+                self.cache[key] = jnp.pad(present, pad)
             self.seq_len = t
             return jnp.asarray(logits)[:, t - 1, :]
 
@@ -355,11 +383,17 @@ class GraphBackend:
             ].repeat(batch, 0)
         for name in self.cache_inputs:
             inputs[name] = self.cache[name]
-        wanted = [self.logits_name, *self.cache_outputs.keys()]
+        # Static cross-attn presents are identical every step — don't ask the
+        # program to rematerialize them after prefill.
+        growing_outs = [
+            n for n in self.cache_outputs
+            if self.cache_outputs[n] not in self.static_cache
+        ]
+        wanted = [self.logits_name, *growing_outs]
         outs = self.model.run(inputs, wanted, self.opts)
         logits = outs[0]
         start = jnp.int32(L)
-        for out_name, present in zip(list(self.cache_outputs.keys()), outs[1:]):
+        for out_name, present in zip(growing_outs, outs[1:]):
             key = self.cache_outputs[out_name]
             new = jax.lax.slice_in_dim(
                 jnp.asarray(present), P, P + t, axis=jnp.ndim(present) - 2

@@ -70,12 +70,12 @@ def build_decoder_graph(rng, with_bias_input=False):
 
     # kpos = cumsum(mask) - 1 (true position of each cache column, pads
     # repeat the previous value and are separately masked off)
-    mf = g.add_simple_op("Cast", [mask], {"to": "float32"}, name="mf")
+    mf = g.add_simple_op("Cast", [mask], {"to": "float"}, name="mf")
     one_ax = c("one_ax", np.int32(1))
     csum = g.add_simple_op("CumSum", [mf, one_ax], name="csum")
     onef = c("onef", np.float32(1.0))
     kpos = g.add_simple_op("Sub", [csum, onef], name="kpos")
-    qposf = g.add_simple_op("Cast", [pos], {"to": "float32"}, name="qposf")
+    qposf = g.add_simple_op("Cast", [pos], {"to": "float"}, name="qposf")
     ax1 = c("ax1", np.int32([1]))
     ax2 = c("ax2", np.int32([2]))
     kpos_b = g.add_simple_op("Unsqueeze", [kpos, ax1], name="kpos_b")  # [B,1,S]
@@ -83,7 +83,7 @@ def build_decoder_graph(rng, with_bias_input=False):
     causal = g.add_simple_op("LessOrEqual", [kpos_b, qpos_b], name="causal")
     mask_b = g.add_simple_op("Unsqueeze", [mask, ax1], name="mask_b")  # [B,1,S]
     valid = g.add_simple_op("Mul", [causal, mask_b], name="valid")
-    validf = g.add_simple_op("Cast", [valid], {"to": "float32"}, name="validf")
+    validf = g.add_simple_op("Cast", [valid], {"to": "float"}, name="validf")
     vm1 = g.add_simple_op("Sub", [validf, onef], name="vm1")
     big = c("big", np.float32(1e9))
     bias = g.add_simple_op("Mul", [vm1, big], name="bias")
@@ -242,7 +242,7 @@ def build_decoder_graph_no_posids(rng, kv_shape_positions=False):
     wlm = c("wlm", rng.standard_normal((D, V)).astype(np.float32) * 0.5)
 
     # kpos = cumsum(mask) - 1 over the full (padded) column axis.
-    mf = g.add_simple_op("Cast", [mask], {"to": "float32"}, name="mf")
+    mf = g.add_simple_op("Cast", [mask], {"to": "float"}, name="mf")
     one_ax = c("one_ax", np.int32(1))
     csum = g.add_simple_op("CumSum", [mf, one_ax], name="csum")
     onef = c("onef", np.float32(1.0))
@@ -289,7 +289,7 @@ def build_decoder_graph_no_posids(rng, kv_shape_positions=False):
     causal = g.add_simple_op("LessOrEqual", [kpos_b, qpos_b], name="causal")
     mask_b = g.add_simple_op("Unsqueeze", [mask, ax1], name="mask_b")  # [B,1,S]
     valid = g.add_simple_op("Mul", [causal, mask_b], name="valid")
-    validf = g.add_simple_op("Cast", [valid], {"to": "float32"}, name="validf")
+    validf = g.add_simple_op("Cast", [valid], {"to": "float"}, name="validf")
     vm1 = g.add_simple_op("Sub", [validf, onef], name="vm1")
     big = c("big", np.float32(1e9))
     bias = g.add_simple_op("Mul", [vm1, big], name="bias")
@@ -364,3 +364,227 @@ def test_maskless_graph_warns_with_reason():
     with w.catch_warnings():
         w.simplefilter("error")
         GraphBackend(model, mode="interpret")
+
+
+ENC_N = 6  # encoder memory length
+
+
+def build_encdec_decoder_graph(rng, enc_n=None, d=None, v=None):
+    """Whisper/TrOCR-class DECODER graph (HF-Optimum conventions): masked
+    self-attention over growing past_key_values.0.decoder.* + cross-attention
+    recomputed from the encoder_hidden_states input each call — the cross-KV
+    projections hang entirely off a loop-invariant input, so GraphBackend's
+    partial_run hoist (≙ generator.rs:533-544) removes them from the
+    per-step program."""
+    ENC_N, D, V = enc_n or globals()["ENC_N"], d or globals()["D"], v or globals()["V"]
+    g = Graph()
+    ids = g.add_value("input_ids", ["batch", None])
+    mask = g.add_value("attention_mask", ["batch", None])
+    pos = g.add_value("position_ids", ["batch", None])
+    enc = g.add_value("encoder_hidden_states", ["batch", ENC_N, D])
+    pk_in = g.add_value("past_key_values.0.decoder.key", ["batch", None, D])
+    pv_in = g.add_value("past_key_values.0.decoder.value", ["batch", None, D])
+    g.inputs = [ids, mask, pos, enc, pk_in, pv_in]
+
+    def c(name, arr):
+        return g.add_constant(name, np.asarray(arr))
+
+    wte = c("wte", rng.standard_normal((V, D)).astype(np.float32) * 0.5)
+    wpe = c("wpe", rng.standard_normal((MAXPOS, D)).astype(np.float32) * 0.1)
+    wq = c("wq", rng.standard_normal((D, D)).astype(np.float32) * 0.3)
+    wk = c("wk", rng.standard_normal((D, D)).astype(np.float32) * 0.3)
+    wv = c("wv", rng.standard_normal((D, D)).astype(np.float32) * 0.3)
+    wq2 = c("wq2", rng.standard_normal((D, D)).astype(np.float32) * 0.3)
+    wk2 = c("wk2", rng.standard_normal((D, D)).astype(np.float32) * 0.3)
+    wv2 = c("wv2", rng.standard_normal((D, D)).astype(np.float32) * 0.3)
+    wlm = c("wlm", rng.standard_normal((D, V)).astype(np.float32) * 0.5)
+
+    emb = g.add_simple_op("Gather", [wte, ids], {"axis": 0}, name="emb")
+    pemb = g.add_simple_op("Gather", [wpe, pos], {"axis": 0}, name="pemb")
+    x = g.add_simple_op("Add", [emb, pemb], name="x")
+
+    # masked self-attention over the growing decoder cache
+    q = g.add_simple_op("MatMul", [x, wq], name="q")
+    k = g.add_simple_op("MatMul", [x, wk], name="k")
+    v = g.add_simple_op("MatMul", [x, wv], name="v")
+    pk = g.add_value("present.0.decoder.key")
+    g.add_operator("concat_k", "Concat", {"axis": 1}, [pk_in, k], [pk])
+    pv = g.add_value("present.0.decoder.value")
+    g.add_operator("concat_v", "Concat", {"axis": 1}, [pv_in, v], [pv])
+    pk_t = g.add_simple_op("Transpose", [pk], {"perm": [0, 2, 1]}, name="pk_t")
+    raw = g.add_simple_op("MatMul", [q, pk_t], name="scores_raw")
+    scale = c("scale", np.float32(1.0 / np.sqrt(D)))
+    scores = g.add_simple_op("Mul", [raw, scale], name="scores")
+    mf = g.add_simple_op("Cast", [mask], {"to": "float"}, name="mf")
+    one_ax = c("one_ax", np.int32(1))
+    csum = g.add_simple_op("CumSum", [mf, one_ax], name="csum")
+    onef = c("onef", np.float32(1.0))
+    kpos = g.add_simple_op("Sub", [csum, onef], name="kpos")
+    qposf = g.add_simple_op("Cast", [pos], {"to": "float"}, name="qposf")
+    ax1 = c("ax1", np.int32([1]))
+    ax2 = c("ax2", np.int32([2]))
+    kpos_b = g.add_simple_op("Unsqueeze", [kpos, ax1], name="kpos_b")
+    qpos_b = g.add_simple_op("Unsqueeze", [qposf, ax2], name="qpos_b")
+    causal = g.add_simple_op("LessOrEqual", [kpos_b, qpos_b], name="causal")
+    mask_b = g.add_simple_op("Unsqueeze", [mask, ax1], name="mask_b")
+    valid = g.add_simple_op("Mul", [causal, mask_b], name="valid")
+    validf = g.add_simple_op("Cast", [valid], {"to": "float"}, name="validf")
+    vm1 = g.add_simple_op("Sub", [validf, onef], name="vm1")
+    big = c("big", np.float32(1e9))
+    sbias = g.add_simple_op("Mul", [vm1, big], name="sbias")
+    masked = g.add_simple_op("Add", [scores, sbias], name="masked")
+    probs = g.add_simple_op("Softmax", [masked], {"axis": -1}, name="probs")
+    ctx = g.add_simple_op("MatMul", [probs, pv], name="ctx")
+    h1 = g.add_simple_op("Add", [ctx, x], name="h1")
+
+    # cross-attention: K/V from the loop-invariant encoder states (hoisted)
+    q2 = g.add_simple_op("MatMul", [h1, wq2], name="q2")
+    k_enc = g.add_simple_op("MatMul", [enc, wk2], name="k_enc")
+    v_enc = g.add_simple_op("MatMul", [enc, wv2], name="v_enc")
+    k_enc_t = g.add_simple_op("Transpose", [k_enc], {"perm": [0, 2, 1]}, name="k_enc_t")
+    raw2 = g.add_simple_op("MatMul", [q2, k_enc_t], name="raw2")
+    scores2 = g.add_simple_op("Mul", [raw2, scale], name="scores2")
+    probs2 = g.add_simple_op("Softmax", [scores2], {"axis": -1}, name="probs2")
+    ctx2 = g.add_simple_op("MatMul", [probs2, v_enc], name="ctx2")
+    h2 = g.add_simple_op("Add", [ctx2, h1], name="h2")
+
+    logits = g.add_value("logits")
+    g.add_operator("lm", "MatMul", {}, [h2, wlm], [logits])
+    g.outputs = [logits, pk, pv]
+    return g
+
+
+def _encdec_generate(model, enc_states, prompt, n, mode=None):
+    be = GraphBackend(
+        model, mode=mode, constant_inputs={"encoder_hidden_states": enc_states}
+    )
+    return _generate(be, prompt, n), be
+
+
+def test_encdec_decoder_compiled_matches_interpret():
+    """Enc-dec decoder graphs (growing self-KV + constant encoder memory)
+    run the COMPILED bucketed path token-exactly, with the cross-attention
+    projections hoisted out of the per-step program."""
+    rng = np.random.default_rng(7)
+    model = Model(
+        build_encdec_decoder_graph(rng),
+        options=ModelOptions(enable_optimization=False),
+    )
+    enc_states = rng.standard_normal((1, ENC_N, D)).astype(np.float32) * 0.5
+
+    compiled, be = _encdec_generate(model, enc_states, [2, 5, 1], 40)
+    legacy, _ = _encdec_generate(model, enc_states, [2, 5, 1], 40, mode="interpret")
+    assert be.mode == "compiled"
+    assert compiled == legacy
+    assert be._hoisted  # k_enc/v_enc left the per-step program
+    hoisted_names = {model.graph.node_name(nid) for nid in be._hoisted}
+    assert any("k_enc" in (n or "") for n in hoisted_names), hoisted_names
+
+
+def build_merged_encdec_graph(rng):
+    """Optimum MERGED-export pattern: static cross-attn caches
+    (past_key_values.0.encoder.*) + a use_cache_branch selector choosing
+    between computing them from encoder_hidden_states (first call) and
+    reusing the past inputs (If op ≙ the merged models' branch,
+    src/ops/control_flow.rs:30)."""
+    g = Graph()
+    ids = g.add_value("input_ids", ["batch", None])
+    enc = g.add_value("encoder_hidden_states", ["batch", ENC_N, D])
+    pek_in = g.add_value("past_key_values.0.encoder.key", ["batch", None, D])
+    pev_in = g.add_value("past_key_values.0.encoder.value", ["batch", None, D])
+    pdk_in = g.add_value("past_key_values.0.decoder.key", ["batch", None, D])
+    pdv_in = g.add_value("past_key_values.0.decoder.value", ["batch", None, D])
+    branch = g.add_value("use_cache_branch", [1])
+    g.inputs = [ids, enc, pek_in, pev_in, pdk_in, pdv_in, branch]
+
+    def c(name, arr):
+        return g.add_constant(name, np.asarray(arr))
+
+    wte = c("wte", rng.standard_normal((V, D)).astype(np.float32) * 0.5)
+    wk2 = c("wk2", rng.standard_normal((D, D)).astype(np.float32) * 0.3)
+    wv2 = c("wv2", rng.standard_normal((D, D)).astype(np.float32) * 0.3)
+    wk1 = c("wk1", rng.standard_normal((D, D)).astype(np.float32) * 0.3)
+    wv1 = c("wv1", rng.standard_normal((D, D)).astype(np.float32) * 0.3)
+    wlm = c("wlm", rng.standard_normal((D, V)).astype(np.float32) * 0.5)
+
+    x = g.add_simple_op("Gather", [wte, ids], {"axis": 0}, name="x")
+
+    # If(use_cache_branch): reuse past encoder KV, else compute from states.
+    # Subgraphs capture outer values BY NAME (≙ CaptureEnv closure semantics).
+    then_g = Graph()
+    tpk = then_g.add_value("past_key_values.0.encoder.key")
+    tpv = then_g.add_value("past_key_values.0.encoder.value")
+    then_g.captures = [tpk, tpv]
+    tk = then_g.add_simple_op("Identity", [tpk], name="idk")
+    tv = then_g.add_simple_op("Identity", [tpv], name="idv")
+    then_g.outputs = [tk, tv]
+    else_g = Graph()
+    e_enc = else_g.add_value("encoder_hidden_states")
+    e_wk2 = else_g.add_value("wk2")
+    e_wv2 = else_g.add_value("wv2")
+    else_g.captures = [e_enc, e_wk2, e_wv2]
+    ek = else_g.add_simple_op("MatMul", [e_enc, e_wk2], name="mk")
+    ev = else_g.add_simple_op("MatMul", [e_enc, e_wv2], name="mv")
+    else_g.outputs = [ek, ev]
+    pek = g.add_value("present.0.encoder.key")
+    pev = g.add_value("present.0.encoder.value")
+    g.add_operator(
+        "cache_if", "If", {"then_branch": then_g, "else_branch": else_g},
+        [branch], [pek, pev],
+    )
+
+    # decoder self KV grows as usual
+    k1 = g.add_simple_op("MatMul", [x, wk1], name="k1")
+    v1 = g.add_simple_op("MatMul", [x, wv1], name="v1")
+    pdk = g.add_value("present.0.decoder.key")
+    g.add_operator("ck", "Concat", {"axis": 1}, [pdk_in, k1], [pdk])
+    pdv = g.add_value("present.0.decoder.value")
+    g.add_operator("cv", "Concat", {"axis": 1}, [pdv_in, v1], [pdv])
+
+    # cross-attention over the (selected) encoder KV
+    pek_t = g.add_simple_op("Transpose", [pek], {"perm": [0, 2, 1]}, name="pek_t")
+    raw2 = g.add_simple_op("MatMul", [x, pek_t], name="raw2")
+    probs2 = g.add_simple_op("Softmax", [raw2], {"axis": -1}, name="probs2")
+    ctx2 = g.add_simple_op("MatMul", [probs2, pev], name="ctx2")
+    h = g.add_simple_op("Add", [ctx2, x], name="h")
+    logits = g.add_value("logits")
+    g.add_operator("lm", "MatMul", {}, [h, wlm], [logits])
+    g.outputs = [logits, pek, pev, pdk, pdv]
+    return g
+
+
+def test_merged_export_static_cache_interpret():
+    """The merged-export family: encoder caches computed once (branch 0),
+    reused thereafter (branch 1, fed automatically); the backend preserves
+    .decoder/.encoder cache names instead of collapsing them."""
+    rng = np.random.default_rng(8)
+    import warnings as w
+
+    model = Model(
+        build_merged_encdec_graph(rng),
+        options=ModelOptions(enable_optimization=False),
+    )
+    enc_states = rng.standard_normal((1, ENC_N, D)).astype(np.float32) * 0.5
+    with w.catch_warnings():
+        w.simplefilter("ignore")  # maskless → interpret warning, expected
+        be = GraphBackend(
+            model, constant_inputs={"encoder_hidden_states": enc_states}
+        )
+    assert be.mode == "interpret"
+    assert be.static_cache == {
+        "past_key_values.0.encoder.key",
+        "past_key_values.0.encoder.value",
+    }
+    toks = _generate(be, [3, 1], 8)
+    assert len(toks) == 8
+    # the stored encoder cache equals the branch-0 projection exactly
+    wk2 = None
+    for node in model.graph.nodes:
+        if getattr(node, "name", None) == "wk2":
+            wk2 = node.value
+    ref = enc_states @ wk2
+    np.testing.assert_allclose(
+        np.asarray(be.cache["past_key_values.0.encoder.key"]), ref, rtol=1e-5
+    )
+    # decoder cache grew to prompt + generated - 1 fed tokens
+    assert be.cache["past_key_values.0.decoder.key"].shape[1] == 2 + 7
