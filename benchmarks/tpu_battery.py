@@ -1,24 +1,43 @@
 """TPU measurement battery: every A/B and capture needed to validate the
-round-3 kernel work on real hardware, one phase per run (fresh processes
-for env-flag A/Bs — the flags are read at trace time).
+kernel work on real hardware (VERDICT r3 item 1 — "capture the perf
+scoreboard"). Each phase runs in a FRESH subprocess (env-flag A/Bs read the
+flags at module import) with its own timeout; results append incrementally
+to an artifact file so a mid-battery tunnel flap loses one phase, not the
+battery.
 
-Usage: python benchmarks/tpu_battery.py <phase>
-Phases (append-order; see also gemvgeom / batchedab / engine / tpover):
-  census    — HLO census of the decode step (count copies/fusions; verify the
-              lane-pad change removed the layout-conversion copies)
-  headline  — bench.py headline (decode tok/s vs roofline)
-  argmaxab  — A/B: greedy fused-argmax generate_scan vs TopK sampler path
-  prefill   — prefill dequant+matmul TF/s, RTEN_PREFILL_PIPE=0 vs 1, plus a
-              block-size sweep at 2048/4096
+Usage:
+  python benchmarks/tpu_battery.py all [--out BATTERY_r04.json]   # orchestrate
+  python benchmarks/tpu_battery.py <phase>                        # one phase
+
+Phases, priority order:
+  census    — HLO census of the decode step (copies/fusions; lane-pad check)
+  headline  — bench.py headline (decode tok/s vs roofline; also refreshes
+              BENCH_midround.json, the outage fallback)
+  prefill   — prefill dequant+matmul TF/s, RTEN_PREFILL_PIPE=0 vs 1
+  batchedab — batch-8 decode, RTEN_BATCHED_ATTN=0 vs 1
+  argmaxab  — greedy fused-argmax generate_scan vs TopK sampler path
+  gemvgeom  — lm-head GEMV GB/s across (block_k, block_n) geometries
   whisper   — whisper step time fused vs eager (RTEN_ED_FUSE)
-  engine    — ServingEngine K-step device-loop throughput vs generate_scan
-  tpover    — mesh-1x1 shard_map decode vs native decode (TP overhead bound)
+  engine    — ServingEngine K-step tick throughput vs generate_scan
+  tpover    — mesh-1x1 shard_map engine vs native engine (TP overhead bound)
 """
+import json
 import os
+import subprocess
 import sys
 import time
 
-phase = sys.argv[1] if len(sys.argv) > 1 else "census"
+PHASES = [
+    ("census", 420),
+    ("headline", 900),
+    ("prefill", 700),
+    ("batchedab", 900),
+    ("argmaxab", 500),
+    ("gemvgeom", 700),
+    ("whisper", 900),
+    ("engine", 700),
+    ("tpover", 700),
+]
 
 
 def census():
@@ -42,13 +61,12 @@ def census():
     fusions = len(re.findall(r"\n\s*\S+ = \S+ fusion\(", txt))
     customs = len(re.findall(r"custom-call", txt))
     print(f"copies: {len(copies)}  fusions: {fusions}  custom-calls: {customs}")
-    # shapes of copies
     for m in re.finditer(r"\n\s*\S+ = (\S+?) copy\(", txt):
         print("  copy", m.group(1))
 
 
 def headline():
-    os.system("cd /root/repo && RTEN_BENCH_BUDGET_S=240 timeout 400 python bench.py")
+    os.system("cd /root/repo && RTEN_BENCH_BUDGET_S=240 timeout 700 python bench.py")
 
 
 def argmaxab():
@@ -81,7 +99,7 @@ def argmaxab():
 
 
 def prefill():
-    # run in subprocesses so the env flag re-reads
+    # run in subprocesses so the env flag re-reads (import-time snapshot)
     for pipe in ("0", "1"):
         cmd = (
             f"cd /root/repo && RTEN_PREFILL_PIPE={pipe} timeout 300 python -c \""
@@ -125,22 +143,12 @@ def whisper():
         os.system(cmd)
 
 
-if __name__ == "__main__":
-    sys.path.insert(0, "/root/repo")
-    os.chdir("/root/repo")
-    _dispatch = {"census": census, "headline": headline, "argmaxab": argmaxab,
-                 "prefill": prefill, "whisper": whisper}
-    _dispatch[phase]() if phase in _dispatch else globals()[phase]()
-
-# Appended phases (invoke via editing __main__ dispatch or python -c).
-
 def batchedab():
     """Batch-8 decode step: RTEN_BATCHED_ATTN 0 vs 1 (fresh process per
-    flag — env flags are read at trace time and the jaxpr cache survives
-    _clear_cache)."""
+    flag — the flag is snapshotted at module import)."""
     for flag in ("0", "1"):
         cmd = (
-            f"RTEN_BATCHED_ATTN={flag} timeout 400 python -c \""
+            f"cd /root/repo && RTEN_BATCHED_ATTN={flag} timeout 400 python -c \""
             "import jax, functools; import jax.numpy as jnp; import numpy as np;\n"
             "from rten_tpu.models import decoder;\n"
             "from rten_tpu.utils.bench import marginal_step_time;\n"
@@ -156,6 +164,7 @@ def batchedab():
             "t = min(marginal_step_time(run, 64, 384, trials=5) for _ in range(2));\n"
             "print('batched', __import__('os').environ['RTEN_BATCHED_ATTN'], t*1e6, 'us/step ->', 8/t, 'tok/s aggregate')\"")
         os.system(cmd)
+
 
 def gemvgeom():
     """lm-head GEMV weight-stream GB/s across (block_k, block_n) geometries.
@@ -193,9 +202,11 @@ def gemvgeom():
             except Exception as e:
                 print(f"bk={bk} bn={bn}: FAILED {type(e).__name__}: {e}")
 
+
 def engine():
     """ServingEngine K-step tick throughput at batch 8 vs generate_scan
-    (VERDICT #4 done-criterion: within ~1.3x at batch 8)."""
+    (VERDICT r2 #4 done-criterion: within ~1.3x at batch 8), sweeping
+    steps_per_tick."""
     import time as _t
     import jax
     import jax.numpy as jnp
@@ -209,7 +220,6 @@ def engine():
     B = 8
     rng = np.random.default_rng(0)
 
-    # generate_scan reference at batch 8
     prompt = jnp.asarray(rng.integers(0, 50000, (B, 64)).astype(np.int32))
     def run(steps):
         cache = decoder.init_cache(cfg, B, 768)
@@ -220,48 +230,118 @@ def engine():
     t = min(marginal_step_time(run, 64, 384, trials=5) for _ in range(2))
     print(f"generate_scan b8: {t*1e6:.1f} us/step -> {B/t:.0f} tok/s")
 
-    # engine: K-step ticks, full slots, long requests (steady state)
-    eng = ServingEngine(qp, cfg, max_batch=B, max_len=768, steps_per_tick=16)
-    for i in range(B):
-        eng.submit(Request(prompt=list(rng.integers(0, 50000, 64)), max_new_tokens=600))
-    # warm up a few ticks (compile)
-    for _ in range(3):
-        eng.step()
-    n_ticks = 12
-    t0 = _t.perf_counter()
-    toks = 0
-    for _ in range(n_ticks):
-        eng.step()
-        toks += B * eng.steps_per_tick
-    dt = _t.perf_counter() - t0
-    print(f"engine b8 k16: {toks/dt:.0f} tok/s wall (incl. tunnel launches, {dt:.2f}s)")
+    for k_tick in (1, 8, 32):
+        eng = ServingEngine(qp, cfg, max_batch=B, max_len=768, steps_per_tick=k_tick)
+        for _ in range(B):
+            eng.submit(Request(prompt=list(rng.integers(0, 50000, 64)), max_new_tokens=700))
+        for _ in range(3):  # warm up (compile)
+            eng.step()
+        n_steps = 160
+        n_ticks = max(1, n_steps // k_tick)
+        t0 = _t.perf_counter()
+        toks = 0
+        for _ in range(n_ticks):
+            eng.step()
+            toks += B * k_tick
+        dt = _t.perf_counter() - t0
+        print(f"engine b8 k{k_tick}: {toks/dt:.0f} tok/s wall ({dt:.2f}s, incl. tunnel launches)")
 
 
 def tpover():
-    """mesh-1x1 shard_map decode vs native decode: bounds TP overhead on
-    one chip."""
+    """mesh-1x1 shard_map serving vs native serving on ONE chip: the
+    real-hardware TP-overhead bound (VERDICT r3 item 5's second half).
+    Same unfused int8 params both sides; K-step ticks amortize launches."""
+    import time as _t
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from jax.sharding import Mesh
     from rten_tpu.models import decoder
-    from rten_tpu.parallel import tp as tpmod
-    from rten_tpu.utils.bench import marginal_step_time
+    from rten_tpu.parallel import make_mesh
+    from rten_tpu.serve.engine import Request, ServingEngine
 
     cfg = decoder.DecoderConfig(dtype=jnp.bfloat16, max_seq=1024)
     qp = decoder.quantize_params_int8(
         decoder.init_params(jax.random.PRNGKey(0), cfg), fuse=False
     )
-    prompt = jnp.asarray(np.random.default_rng(0).integers(0, 50000, (1, 64)).astype(np.int32))
+    B, k_tick, n_steps = 8, 16, 160
+    rng = np.random.default_rng(0)
 
-    def native(steps):
-        cache = decoder.init_cache(cfg, 1, 768)
-        lg, cache = decoder.prefill(qp, cfg, prompt, cache)
-        first = jnp.argmax(lg[:, -1:], -1).astype(jnp.int32)
-        toks, _ = decoder.generate_scan(qp, cfg, cache, first, jax.random.PRNGKey(1), n_steps=steps)
-        return toks
-    t = min(marginal_step_time(native, 64, 384, trials=5) for _ in range(2))
-    print(f"native unfused decode: {t*1e6:.1f} us/step")
-    print("for the shard_map twin, see tests/test_tp.py wiring — run "
-          "ServingEngine(tp_mode='shard_map', mesh=1x1) or tp_decode_step "
-          "with a 1x1 mesh and compare")
+    def run_engine(mesh, tp_mode):
+        eng = ServingEngine(
+            qp, cfg, max_batch=B, max_len=768, steps_per_tick=k_tick,
+            mesh=mesh, tp_mode=tp_mode,
+        )
+        for _ in range(B):
+            eng.submit(Request(prompt=list(rng.integers(0, 50000, 64)), max_new_tokens=700))
+        for _ in range(3):
+            eng.step()
+        t0 = _t.perf_counter()
+        toks = 0
+        for _ in range(n_steps // k_tick):
+            eng.step()
+            toks += B * k_tick
+        return toks / (_t.perf_counter() - t0)
+
+    native = run_engine(None, "pjit")
+    shard = run_engine(make_mesh(data=1, model=1), "shard_map")
+    print(f"native unfused engine b8 k{k_tick}: {native:.0f} tok/s")
+    print(f"shard_map 1x1 engine b8 k{k_tick}: {shard:.0f} tok/s")
+    print(f"tp_overhead_bound: {shard/native:.4f} of native (bar >=0.85)")
+
+
+def run_all(out_path: str) -> None:
+    """Run every phase in priority order, each in a fresh subprocess,
+    appending structured results to ``out_path`` after each phase."""
+    results: dict = {"started_unix": int(time.time()), "phases": {}}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                results = json.load(f)
+        except ValueError:
+            pass
+    for name, timeout_s in PHASES:
+        prior = results["phases"].get(name)
+        if prior and prior.get("rc") == 0 and os.environ.get("RTEN_BATTERY_RERUN") != "1":
+            print(f"[battery] {name}: cached ok, skipping", flush=True)
+            continue
+        print(f"[battery] {name} (timeout {timeout_s}s)...", flush=True)
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name],
+                capture_output=True, text=True, timeout=timeout_s,
+                cwd="/root/repo",
+            )
+            rec = {
+                "rc": proc.returncode,
+                "stdout": proc.stdout[-8000:],
+                "stderr": proc.stderr[-2000:],
+            }
+        except subprocess.TimeoutExpired as e:
+            rec = {
+                "rc": "timeout",
+                "stdout": (e.stdout or "")[-8000:] if isinstance(e.stdout, str) else "",
+                "stderr": "phase timeout",
+            }
+        rec["wall_s"] = round(time.time() - t0, 1)
+        results["phases"][name] = rec
+        results["updated_unix"] = int(time.time())
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(results, f, indent=1)
+        os.replace(tmp, out_path)
+        print(f"[battery] {name}: rc={rec['rc']} ({rec['wall_s']}s)", flush=True)
+        print(rec["stdout"], flush=True)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, "/root/repo")
+    os.chdir("/root/repo")
+    phase = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if phase == "all":
+        out = "BATTERY_r04.json"
+        if "--out" in sys.argv:
+            out = sys.argv[sys.argv.index("--out") + 1]
+        run_all(out)
+    else:
+        globals()[phase]()
