@@ -37,6 +37,7 @@ PHASES = [
     ("whisper", 900),
     ("engine", 700),
     ("tpover", 700),
+    ("specdec", 700),
 ]
 
 
@@ -287,6 +288,76 @@ def tpover():
     print(f"native unfused engine b8 k{k_tick}: {native:.0f} tok/s")
     print(f"shard_map 1x1 engine b8 k{k_tick}: {shard:.0f} tok/s")
     print(f"tp_overhead_bound: {shard/native:.4f} of native (bar >=0.85)")
+
+
+def specdec():
+    """Speculative decoding (greedy, K=4, 2-layer draft) vs plain
+    generate_scan on the GPT-2-small-class int8 target, batch 1: wall
+    tokens/s + measured acceptance. Beyond-parity serving perf — output is
+    token-exact vs plain greedy (tests/test_speculative.py)."""
+    import time as _t
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rten_tpu.generate.speculative import speculative_scan
+    from rten_tpu.models import decoder
+    from rten_tpu.utils.bench import marginal_step_time
+
+    cfg_t = decoder.DecoderConfig(dtype=jnp.bfloat16, max_seq=2048)
+    params_t = decoder.quantize_params_int8(
+        decoder.init_params(jax.random.PRNGKey(0), cfg_t)
+    )
+    cfg_d = decoder.DecoderConfig(
+        n_layers=2, dtype=jnp.bfloat16, max_seq=2048
+    )
+    params_d = decoder.quantize_params_int8(
+        decoder.init_params(jax.random.PRNGKey(1), cfg_d)
+    )
+    prompt = jnp.asarray(np.arange(32, dtype=np.int32)[None])
+
+    # plain greedy baseline
+    def plain(steps):
+        cache = decoder.init_cache(cfg_t, 1, 2048)
+        _, cache = decoder.prefill(params_t, cfg_t, prompt, cache)
+        toks, _ = decoder.generate_scan(
+            params_t, cfg_t, cache, prompt[:, -1:], jax.random.PRNGKey(2),
+            n_steps=steps,
+        )
+        return toks
+    t_plain = min(marginal_step_time(plain, 64, 384, trials=5) for _ in range(2))
+    print(f"plain greedy: {t_plain*1e6:.1f} us/token ({1/t_plain:.0f} tok/s)")
+
+    k = 4
+    def spec(rounds):
+        cache_t = decoder.init_cache(cfg_t, 1, 2048)
+        cache_d = decoder.init_cache(cfg_d, 1, 2048)
+        lg, cache_t = decoder.prefill(params_t, cfg_t, prompt, cache_t)
+        _, cache_d = decoder.prefill(params_d, cfg_d, prompt, cache_d)
+        last = jnp.argmax(lg[:, -1:, :], -1).astype(jnp.int32)
+        toks, counts, *_ = speculative_scan(
+            params_t, cfg_t, cache_t, params_d, cfg_d, cache_d, last,
+            k=k, n_rounds=rounds,
+        )
+        return counts
+
+    # marginal time per ROUND, then tokens/round from a measured run
+    t_round = min(marginal_step_time(spec, 16, 96, trials=5) for _ in range(2))
+    counts = np.asarray(jax.block_until_ready(spec(96)))
+    toks_per_round = float(counts.mean())
+    tok_s = toks_per_round / t_round
+    print(
+        f"specdec k={k} draft2L: {t_round*1e6:.1f} us/round, "
+        f"{toks_per_round:.2f} tok/round (acceptance "
+        f"{(toks_per_round - 1) / k:.2f}) -> {tok_s:.0f} tok/s "
+        f"({tok_s * t_plain:.2f}x plain)"
+    )
+    ceiling = (k + 1) / t_round
+    print(
+        f"full-acceptance ceiling: {ceiling:.0f} tok/s "
+        f"({ceiling * t_plain:.2f}x plain) — realized acceptance depends on "
+        "draft quality; random-weight models accept ~nothing, so this "
+        "phase measures the mechanism's cost and ceiling, not a claim."
+    )
 
 
 def run_all(out_path: str) -> None:
