@@ -121,3 +121,127 @@ def test_speculative_eos_stops_row():
     )[0]
     assert got == list(ref[: pos + 1])
     assert got[-1] == eos
+
+
+# ---------------------------------------------------------------------------
+# Speculative SAMPLING (accept/reject): distribution exactness
+# ---------------------------------------------------------------------------
+
+from rten_tpu.generate.speculative import (  # noqa: E402
+    speculative_sample_generate,
+    speculative_sample_scan,
+)
+
+
+def test_sample_full_acceptance_when_draft_is_target():
+    """draft == target → p == q → accept prob min(1, p/q) = 1: every round
+    must accept all K drafts + bonus, and caches stay aligned."""
+    cfg = _cfg(layers=2)
+    params = decoder.init_params(jax.random.PRNGKey(1), cfg)
+    prompt = jnp.asarray([[7, 1, 23]], jnp.int32)
+    k, n_rounds = 3, 4
+
+    cache_t = decoder.init_cache(cfg, 1, 128)
+    cache_d = decoder.init_cache(cfg, 1, 128)
+    logits, cache_t = decoder.prefill(params, cfg, prompt, cache_t)
+    _, cache_d = decoder.prefill(params, cfg, prompt, cache_d)
+    last = jnp.argmax(logits[:, -1:, :], -1).astype(jnp.int32)
+
+    toks, counts, cache_t, cache_d, _, _ = speculative_sample_scan(
+        params, cfg, cache_t, params, cfg, cache_d, last,
+        jax.random.PRNGKey(0), jnp.float32(0.8), k=k, n_rounds=n_rounds,
+    )
+    assert (np.asarray(counts) == k + 1).all(), np.asarray(counts)
+    np.testing.assert_array_equal(
+        np.asarray(cache_t["len"]), np.asarray(cache_d["len"])
+    )
+
+
+def test_sample_marginal_matches_target_distribution():
+    """The Leviathan guarantee: the first emitted token of an accept/reject
+    round is distributed EXACTLY as temperature sampling of the target
+    alone. Empirical check: replicate one prompt across B=2048 i.i.d. rows,
+    run ONE round against a DIFFERENT draft model, and compare the
+    first-token histogram to the target's analytic softmax (TV distance;
+    the naive q-histogram of the draft fails the same bound)."""
+    vocab, b, temp = 13, 2048, 0.3
+    cfg_t = _cfg(layers=2, vocab=vocab)
+    cfg_d = _cfg(layers=1, vocab=vocab)
+    params_t = decoder.init_params(jax.random.PRNGKey(0), cfg_t)
+    params_d = decoder.init_params(jax.random.PRNGKey(9), cfg_d)
+    prompt = jnp.tile(jnp.asarray([[5, 12, 3, 8]], jnp.int32), (b, 1))
+
+    cache_t = decoder.init_cache(cfg_t, b, 32)
+    cache_d = decoder.init_cache(cfg_d, b, 32)
+    logits_t, cache_t = decoder.prefill(params_t, cfg_t, prompt, cache_t)
+    _, cache_d = decoder.prefill(params_d, cfg_d, prompt, cache_d)
+    last = jnp.argmax(logits_t[:, -1:, :], -1).astype(jnp.int32)  # same ∀ rows
+
+    # Analytic target marginal for the token after [prompt, last], plus the
+    # draft's marginal for the power check (these forwards consume the
+    # caches — fresh ones are built below for the actual run).
+    lg, _ = decoder.forward(params_t, cfg_t, last, cache_t)
+    p_ref = np.asarray(
+        jax.nn.softmax(lg[0, -1, :].astype(jnp.float32) / temp)
+    )
+    lg_d, _ = decoder.forward(params_d, cfg_d, last, cache_d)
+    q_ref = np.asarray(
+        jax.nn.softmax(lg_d[0, -1, :].astype(jnp.float32) / temp)
+    )
+
+    # Fresh caches for the actual run (forward above advanced cache_t).
+    cache_t = decoder.init_cache(cfg_t, b, 32)
+    cache_d = decoder.init_cache(cfg_d, b, 32)
+    _, cache_t = decoder.prefill(params_t, cfg_t, prompt, cache_t)
+    _, cache_d = decoder.prefill(params_d, cfg_d, prompt, cache_d)
+
+    toks, counts, *_ = speculative_sample_scan(
+        params_t, cfg_t, cache_t, params_d, cfg_d, cache_d, last,
+        jax.random.PRNGKey(42), jnp.float32(temp), k=3, n_rounds=1,
+    )
+    first = np.asarray(toks)[0, :, 0]  # [B] — first emitted token per row
+    hist = np.bincount(first, minlength=vocab) / b
+    tv = 0.5 * np.abs(hist - p_ref).sum()
+    # 2048 samples over 13 bins: TV noise floor ≈ 0.03; draft-vs-target TV
+    # for independently-seeded models is ≈ 0.4+ (checked below).
+    assert tv < 0.08, (tv, hist, p_ref)
+
+    # Sanity: the test has power — sampling from the DRAFT distribution
+    # would NOT pass the bound (the two models genuinely disagree).
+    assert 0.5 * np.abs(q_ref - p_ref).sum() > 0.2
+
+
+def test_sample_generate_near_zero_temperature_is_greedy():
+    """temperature → 0 collapses categorical to argmax: the sampling driver
+    must reproduce the greedy reference token-for-token."""
+    cfg_t = _cfg(layers=2)
+    cfg_d = _cfg(layers=1)
+    params_t = decoder.init_params(jax.random.PRNGKey(2), cfg_t)
+    params_d = decoder.init_params(jax.random.PRNGKey(5), cfg_d)
+    prompt = np.asarray([[5, 17, 3], [60, 2, 11]], np.int32)
+    n = 16
+
+    ref = _greedy_reference(params_t, cfg_t, prompt, n)
+    got = speculative_sample_generate(
+        params_t, cfg_t, params_d, cfg_d, prompt,
+        rng=jax.random.PRNGKey(7), k=3, max_new_tokens=n,
+        temperature=1e-4, rounds_per_call=3,
+    )
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_sample_generate_eos_and_shapes():
+    """Driver plumbing: eos stops a row, rows are capped at max_new_tokens."""
+    cfg = _cfg(layers=1, vocab=13)
+    params_t = decoder.init_params(jax.random.PRNGKey(3), cfg)
+    params_d = decoder.init_params(jax.random.PRNGKey(4), cfg)
+    prompt = np.asarray([[1, 2], [3, 4]], np.int32)
+    out = speculative_sample_generate(
+        params_t, cfg, params_d, cfg, prompt,
+        rng=jax.random.PRNGKey(0), k=2, max_new_tokens=12,
+        temperature=1.0, eos_token=7,
+    )
+    for row in out:
+        assert 1 <= len(row) <= 12
+        if 7 in row:
+            assert row[-1] == 7 and row.count(7) == 1
