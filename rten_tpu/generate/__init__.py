@@ -15,7 +15,13 @@ from rten_tpu.generate.generator import (
     NativeBackend,
 )
 from rten_tpu.generate.metrics import Metrics
-from rten_tpu.generate.sampler import ArgMaxSampler, Sampler, TopKSampler, TopPSampler
+from rten_tpu.generate.sampler import (
+    ArgMaxSampler,
+    Sampler,
+    TemperatureSampler,
+    TopKSampler,
+    TopPSampler,
+)
 
 __all__ = [
     "Generator",
@@ -26,6 +32,7 @@ __all__ = [
     "Metrics",
     "Sampler",
     "ArgMaxSampler",
+    "TemperatureSampler",
     "TopKSampler",
     "TopPSampler",
 ]

@@ -437,6 +437,7 @@ class Generator:
         self._finished = False
         self._first = True
         self._on_token: Callable[[np.ndarray], None] | None = None
+        self._draft: "NativeBackend | None" = None
 
     # -- builder API (reference: generator.rs with_prompt :465 etc.) --------
 
@@ -467,6 +468,36 @@ class Generator:
         self.sampler = sampler
         return self
 
+    def with_draft(
+        self, draft: "NativeBackend", *, k: int = 4, rounds_per_call: int = 4
+    ) -> "Generator":
+        """Enable speculative decoding: ``draft`` (a smaller NativeBackend)
+        proposes ``k`` tokens per round and the main backend verifies them in
+        one chunked forward (generate/speculative.py). The iterator contract
+        is unchanged — one token per ``__next__`` — tokens are served from a
+        per-row buffer refilled ``rounds_per_call`` rounds at a time. Output
+        is exact vs non-speculative decoding: token-exact under
+        ArgMaxSampler, distribution-exact under TemperatureSampler (the two
+        samplers the verify step can reproduce; others raise). Both backends
+        must be NativeBackend (rollback = per-row cache-length bookkeeping).
+        Beyond-parity: the reference generates strictly one Model::run per
+        token (rten-generate/src/generator.rs:511-651)."""
+        if not isinstance(self.backend, NativeBackend) or not isinstance(
+            draft, NativeBackend
+        ):
+            raise TypeError(
+                "with_draft requires NativeBackend target and draft "
+                "(speculative rollback needs the native cache's per-row "
+                "valid-length bookkeeping)"
+            )
+        if draft.batch != self.backend.batch:
+            raise ValueError("draft batch size must match target backend")
+        self._draft = draft
+        self._spec_k = k
+        self._spec_rounds = rounds_per_call
+        self._spec_buf: list[list[int]] | None = None
+        return self
+
     def profile(self, metrics: Metrics) -> "Generator":
         self.metrics = metrics
         return self
@@ -485,19 +516,22 @@ class Generator:
             raise StopIteration
         if self.metrics:
             self.metrics.start_step()
-        if self._pending is not None:
-            tokens = self._pending
-            self._pending = None
-            logits = (
-                self.backend.prefill(tokens)
-                if self._first
-                else self.backend.decode(tokens)
-            )
-            self._first = False
+        if self._draft is not None:
+            next_tokens = self._spec_next()
         else:
-            logits = self.backend.decode(self._last[:, None])
-        self._rng, sub = jax.random.split(self._rng)
-        next_tokens = np.asarray(self.sampler.sample(sub, logits))
+            if self._pending is not None:
+                tokens = self._pending
+                self._pending = None
+                logits = (
+                    self.backend.prefill(tokens)
+                    if self._first
+                    else self.backend.decode(tokens)
+                )
+                self._first = False
+            else:
+                logits = self.backend.decode(self._last[:, None])
+            self._rng, sub = jax.random.split(self._rng)
+            next_tokens = np.asarray(self.sampler.sample(sub, logits))
         jax.block_until_ready(next_tokens)
         if self.metrics:
             self.metrics.end_step()
@@ -510,6 +544,81 @@ class Generator:
         if self._on_token:
             self._on_token(next_tokens)
         return next_tokens
+
+    # -- speculative decoding (with_draft) -----------------------------------
+
+    def _spec_next(self) -> np.ndarray:
+        """One iterator step in draft mode: serve from the per-row buffer,
+        refilling it with device-side speculative rounds when any row runs
+        dry. Prompt chunks feed BOTH caches so they stay prefix-aligned."""
+        bk, dk = self.backend, self._draft
+        if self._pending is not None:
+            tokens = self._pending
+            self._pending = None
+            if self._first:
+                logits = bk.prefill(tokens)
+                dk.prefill(tokens)
+                self._first = False
+            else:
+                # Mid-conversation append: the caches may hold verified
+                # tokens the iterator never emitted (still buffered). The
+                # invariant is cache = prompt + all produced tokens except
+                # the final one (_spec_last), so dropping u buffered tokens
+                # = rolling each row's valid length back by u (stale
+                # entries are never read and get overwritten).
+                if self._spec_buf is not None and any(self._spec_buf):
+                    u = jnp.asarray(
+                        [len(b) for b in self._spec_buf], jnp.int32
+                    )
+                    for nb in (bk, dk):
+                        nb.cache = dict(nb.cache)
+                        nb.cache["len"] = nb.cache["len"] - u
+                logits = bk.decode(tokens)
+                dk.decode(tokens)
+            self._rng, sub = jax.random.split(self._rng)
+            toks = np.asarray(self.sampler.sample(sub, logits))
+            self._spec_buf = [[] for _ in range(bk.batch)]
+            self._spec_last = toks
+            return toks
+        if any(not b for b in self._spec_buf):
+            self._spec_refill()
+        return np.asarray([b.pop(0) for b in self._spec_buf], np.int32)
+
+    def _spec_refill(self) -> None:
+        from rten_tpu.generate import speculative
+        from rten_tpu.generate.sampler import TemperatureSampler
+
+        bk, dk = self.backend, self._draft
+        last = jnp.asarray(self._spec_last, jnp.int32)[:, None]
+        if isinstance(self.sampler, ArgMaxSampler):
+            toks, counts, ct, cd, last_new = speculative.speculative_scan(
+                bk.params, bk.cfg, bk.cache, dk.params, dk.cfg, dk.cache,
+                last, k=self._spec_k, n_rounds=self._spec_rounds,
+            )
+        elif isinstance(self.sampler, TemperatureSampler):
+            (
+                toks, counts, ct, cd, last_new, self._rng,
+            ) = speculative.speculative_sample_scan(
+                bk.params, bk.cfg, bk.cache, dk.params, dk.cfg, dk.cache,
+                last, self._rng,
+                jnp.float32(self.sampler.temperature),
+                k=self._spec_k, n_rounds=self._spec_rounds,
+            )
+        else:
+            raise ValueError(
+                "speculative decoding verifies ArgMaxSampler and "
+                f"TemperatureSampler exactly; {type(self.sampler).__name__} "
+                "would change the target distribution"
+            )
+        bk.cache, dk.cache = ct, cd
+        toks_np = np.asarray(toks)  # [R, B, K+1]
+        counts_np = np.asarray(counts)  # [R, B]
+        for r in range(toks_np.shape[0]):
+            for i in range(bk.batch):
+                self._spec_buf[i].extend(
+                    int(t) for t in toks_np[r, i, : counts_np[r, i]]
+                )
+        self._spec_last = np.asarray(last_new)[:, 0]
 
 
 def backend_for_model(model, n_heads: int | None = None, batch: int = 1):

@@ -32,6 +32,24 @@ class ArgMaxSampler(Sampler):
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+class TemperatureSampler(Sampler):
+    """Plain temperature sampling over the full vocabulary. This is the
+    sampler speculative decoding can verify EXACTLY (Generator.with_draft):
+    accept/reject against the target softmax reproduces its marginals."""
+
+    def __init__(self, temperature: float = 1.0):
+        self.temperature = temperature
+
+    def _key(self):
+        return (type(self).__name__, self.temperature)
+
+    def sample(self, rng, logits):
+        if rng is None:
+            raise ValueError("TemperatureSampler requires an rng key")
+        lg = logits.astype(jnp.float32) / max(self.temperature, 1e-6)
+        return jax.random.categorical(rng, lg, axis=-1).astype(jnp.int32)
+
+
 class TopKSampler(Sampler):
     """Sample from the k highest-probability tokens with temperature."""
 

@@ -245,3 +245,115 @@ def test_sample_generate_eos_and_shapes():
         assert 1 <= len(row) <= 12
         if 7 in row:
             assert row[-1] == 7 and row.count(7) == 1
+
+
+# ---------------------------------------------------------------------------
+# Generator.with_draft: speculative decoding behind the iterator API
+# ---------------------------------------------------------------------------
+
+import itertools  # noqa: E402
+
+from rten_tpu.generate import (  # noqa: E402
+    Generator,
+    GeneratorConfig,
+    NativeBackend,
+    TemperatureSampler,
+    TopKSampler,
+)
+
+
+def _mk_backends(seed_t=2, seed_d=5, batch=1, vocab=97):
+    cfg_t = _cfg(layers=2, vocab=vocab)
+    cfg_d = _cfg(layers=1, vocab=vocab)
+    params_t = decoder.init_params(jax.random.PRNGKey(seed_t), cfg_t)
+    params_d = decoder.init_params(jax.random.PRNGKey(seed_d), cfg_d)
+    return (
+        NativeBackend(params_t, cfg_t, batch=batch, max_len=128),
+        NativeBackend(params_d, cfg_d, batch=batch, max_len=128),
+        params_t, cfg_t,
+    )
+
+
+def test_generator_with_draft_token_exact_greedy():
+    """Generator(with_draft) under ArgMaxSampler must emit exactly the
+    plain Generator's tokens, one per __next__."""
+    bk, dk, params_t, cfg_t = _mk_backends()
+    prompt = [5, 17, 3, 42]
+    n = 20
+
+    plain = Generator(
+        NativeBackend(params_t, cfg_t, batch=1, max_len=128)
+    ).with_prompt(prompt)
+    ref = [int(t[0]) for t in itertools.islice(plain, n)]
+
+    gen = Generator(bk).with_prompt(prompt).with_draft(dk, k=3, rounds_per_call=2)
+    got = [int(t[0]) for t in itertools.islice(gen, n)]
+    assert got == ref
+
+
+def test_generator_with_draft_append_prompt_mid_stream():
+    """append_prompt with un-emitted buffered tokens must roll the caches
+    back so the continuation matches a plain Generator doing the same
+    two-turn conversation."""
+    bk, dk, params_t, cfg_t = _mk_backends(seed_t=3, seed_d=7)
+    first_turn, second_turn = [5, 17, 3], [8, 2]
+
+    plain = Generator(
+        NativeBackend(params_t, cfg_t, batch=1, max_len=128)
+    ).with_prompt(first_turn)
+    ref = [int(t[0]) for t in itertools.islice(plain, 6)]
+    plain.append_prompt(second_turn)
+    ref += [int(t[0]) for t in itertools.islice(plain, 8)]
+
+    gen = Generator(bk).with_prompt(first_turn).with_draft(
+        dk, k=4, rounds_per_call=3
+    )  # big rounds → buffers certainly non-empty at the append
+    got = [int(t[0]) for t in itertools.islice(gen, 6)]
+    gen.append_prompt(second_turn)
+    got += [int(t[0]) for t in itertools.islice(gen, 8)]
+    assert got == ref
+
+
+def test_generator_with_draft_temperature_near_zero_is_greedy():
+    bk, dk, params_t, cfg_t = _mk_backends()
+    prompt = [5, 17, 3, 42]
+    n = 16
+    plain = Generator(
+        NativeBackend(params_t, cfg_t, batch=1, max_len=128)
+    ).with_prompt(prompt)
+    ref = [int(t[0]) for t in itertools.islice(plain, n)]
+
+    gen = (
+        Generator(bk)
+        .with_prompt(prompt)
+        .with_sampler(TemperatureSampler(1e-4))
+        .with_draft(dk, k=3)
+    )
+    got = [int(t[0]) for t in itertools.islice(gen, n)]
+    assert got == ref
+
+
+def test_generator_with_draft_rejects_unsupported():
+    bk, dk, *_ = _mk_backends()
+    gen = Generator(bk).with_prompt([1, 2]).with_draft(dk, k=2)
+    gen.with_sampler(TopKSampler(5))
+    with pytest.raises(ValueError, match="speculative"):
+        for _ in itertools.islice(gen, 4):
+            pass
+    with pytest.raises(TypeError, match="NativeBackend"):
+        Generator(object()).with_draft(dk)
+
+
+def test_generator_with_draft_batch_and_eos():
+    bk, dk, params_t, cfg_t = _mk_backends(batch=2, vocab=13)
+    prompt = np.asarray([[1, 2, 3], [4, 5, 6]], np.int32)
+    plain = Generator(
+        NativeBackend(params_t, cfg_t, batch=2, max_len=128)
+    ).with_prompt(prompt)
+    ref = np.stack([t for t in itertools.islice(plain, 10)], 1)  # [B, n]
+
+    gen = Generator(
+        bk, GeneratorConfig(max_tokens=10)
+    ).with_prompt(prompt).with_draft(dk, k=2, rounds_per_call=2)
+    got = np.stack(list(gen), 1)
+    np.testing.assert_array_equal(got, ref)
