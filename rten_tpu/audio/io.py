@@ -14,29 +14,71 @@ import wave
 
 import numpy as np
 
+_PCM, _IEEE_FLOAT, _EXTENSIBLE = 1, 3, 0xFFFE
+
+
+def _parse_riff(path: str) -> tuple[int, int, int, int, bytes]:
+    """Minimal RIFF/WAVE parser → (format_tag, n_channels, sample_rate,
+    bits_per_sample, data bytes). stdlib ``wave`` rejects IEEE-float files
+    (format tag 3 raises ``wave.Error`` on every CPython version), and its
+    sampwidth alone cannot distinguish int32 PCM from float32 — the fmt
+    chunk's tag can, so parse it directly."""
+    with open(path, "rb") as f:
+        riff = f.read(12)
+        if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        fmt = data = None
+        while fmt is None or data is None:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid = hdr[:4]
+            size = int.from_bytes(hdr[4:8], "little")
+            chunk = f.read(size)
+            if cid == b"fmt ":
+                fmt = chunk
+            elif cid == b"data":
+                data = chunk
+            if size % 2:  # chunks are word-aligned
+                f.read(1)
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    tag = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    sr = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if tag == _EXTENSIBLE and len(fmt) >= 26:
+        tag = int.from_bytes(fmt[24:26], "little")  # SubFormat GUID head
+    return tag, n_ch, sr, bits, data
+
 
 def read_wav(path: str, *, mono: bool = True) -> tuple[np.ndarray, int]:
     """Read a .wav file → (float32 waveform in [-1, 1], sample_rate).
 
     Mono output is [N]; with ``mono=False`` multi-channel files come back as
     [channels, N]. Supports 8-bit unsigned, 16/24/32-bit signed integer PCM,
-    and IEEE float32 (format tag 3, which stdlib ``wave`` accepts since 3.12).
+    IEEE float32/float64 (format tag 3), and the WAVE_FORMAT_EXTENSIBLE
+    wrappers of both.
     """
-    with wave.open(path, "rb") as wf:
-        n_ch = wf.getnchannels()
-        width = wf.getsampwidth()
-        sr = wf.getframerate()
-        n_frames = wf.getnframes()
-        raw = wf.readframes(n_frames)
+    tag, n_ch, sr, bits, raw = _parse_riff(path)
 
-    if width == 1:  # 8-bit PCM is unsigned
+    if tag == _IEEE_FLOAT:
+        if bits == 32:
+            data = np.frombuffer(raw, "<f4").astype(np.float32)
+        elif bits == 64:
+            data = np.frombuffer(raw, "<f8").astype(np.float32)
+        else:
+            raise ValueError(f"unsupported float wav bit depth: {bits}")
+    elif tag != _PCM:
+        raise ValueError(f"unsupported wav format tag: {tag}")
+    elif bits == 8:  # 8-bit PCM is unsigned
         data = np.frombuffer(raw, np.uint8).astype(np.float32)
         data = (data - 128.0) / 128.0
-    elif width == 2:
+    elif bits == 16:
         # ÷32767 (not 32768) so write_wav→read_wav round-trips exactly up
         # to quantization; full-scale -32768 decodes marginally below -1.
         data = np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
-    elif width == 3:  # 24-bit packed: widen to i32 then shift
+    elif bits == 24:  # packed: widen to i32 then shift
         b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
         i32 = (
             b[:, 0].astype(np.int32)
@@ -45,19 +87,10 @@ def read_wav(path: str, *, mono: bool = True) -> tuple[np.ndarray, int]:
         )
         i32 = np.where(i32 >= 1 << 23, i32 - (1 << 24), i32)
         data = i32.astype(np.float32) / float(1 << 23)
-    elif width == 4:
-        ints = np.frombuffer(raw, "<i4")
-        # Heuristic for float32 wavs read by older stdlibs that report them
-        # as width-4 PCM: reinterpret as f32 if that lands in a sane range.
-        as_f32 = np.frombuffer(raw, "<f4")
-        if np.all(np.isfinite(as_f32)) and (
-            as_f32.size == 0 or np.abs(as_f32).max() <= 16.0
-        ):
-            data = as_f32.astype(np.float32)
-        else:
-            data = ints.astype(np.float32) / float(1 << 31)
+    elif bits == 32:
+        data = np.frombuffer(raw, "<i4").astype(np.float32) / float(1 << 31)
     else:
-        raise ValueError(f"unsupported wav sample width: {width} bytes")
+        raise ValueError(f"unsupported wav bit depth: {bits}")
 
     if n_ch > 1:
         data = data.reshape(-1, n_ch).T  # [C, N]

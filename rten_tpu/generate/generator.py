@@ -344,6 +344,8 @@ class GraphBackend:
             if self.position_ids_name:
                 pos = np.minimum(np.arange(tb), t - 1).astype(np.int32)
                 inputs[self.position_ids_name] = pos[None, :].repeat(batch, 0)
+            if self.use_cache_branch_name:
+                inputs[self.use_cache_branch_name] = np.asarray([0], np.int32)
             for name in self.cache_inputs:
                 inputs[name] = self._empty_cache_value(name, batch)
             wanted = [self.logits_name, *self.cache_outputs.keys()]
@@ -381,6 +383,8 @@ class GraphBackend:
             inputs[self.position_ids_name] = np.arange(L, L + t, dtype=np.int32)[
                 None, :
             ].repeat(batch, 0)
+        if self.use_cache_branch_name:
+            inputs[self.use_cache_branch_name] = np.asarray([1], np.int32)
         for name in self.cache_inputs:
             inputs[name] = self.cache[name]
         # Static cross-attn presents are identical every step — don't ask the
@@ -556,6 +560,21 @@ class Generator:
             tokens = self._pending
             self._pending = None
             if self._first:
+                # Headroom: rounds can overshoot max_tokens by up to
+                # rounds*(k+1) buffered tokens, and the scan clamp reserves
+                # k+2 — a cache sized for PLAIN decoding (prompt+max_tokens)
+                # would let the clamp bind mid-stream and silently corrupt
+                # the verified prefix. Grow both caches up front instead.
+                need = (
+                    tokens.shape[1]
+                    + self.config.max_tokens
+                    + self._spec_rounds * (self._spec_k + 1)
+                    + self._spec_k + 2
+                )
+                for nb in (bk, dk):
+                    if nb.max_len < need:
+                        nb.max_len = need
+                        nb.reset()
                 logits = bk.prefill(tokens)
                 dk.prefill(tokens)
                 self._first = False
@@ -589,6 +608,23 @@ class Generator:
         from rten_tpu.generate.sampler import TemperatureSampler
 
         bk, dk = self.backend, self._draft
+        # The scan clamp (speculative.py s_limit) exists to protect device
+        # writes for rows the HOST stopped reading; here every row is still
+        # live, so the clamp binding would silently corrupt the verified
+        # prefix. Refuse instead: the refill needs rounds*(k+1) appends plus
+        # the k+2 reserve.
+        need = (
+            int(np.asarray(bk.cache["len"]).max())
+            + self._spec_rounds * (self._spec_k + 1)
+            + self._spec_k + 2
+        )
+        if bk.max_len < need or dk.max_len < need:
+            raise ValueError(
+                f"speculative refill needs cache headroom {need} but "
+                f"max_len is {min(bk.max_len, dk.max_len)}; construct the "
+                f"NativeBackends with a larger max_len (or lower "
+                f"max_tokens/rounds_per_call)"
+            )
         last = jnp.asarray(self._spec_last, jnp.int32)[:, None]
         if isinstance(self.sampler, ArgMaxSampler):
             toks, counts, ct, cd, last_new = speculative.speculative_scan(

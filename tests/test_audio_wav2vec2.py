@@ -136,3 +136,88 @@ def test_wav2vec2_frame_lengths():
 
     cfg = w2v.Wav2Vec2Config(conv_dim=(8, 8), conv_kernel=(10, 3), conv_stride=(5, 2))
     assert w2v.feat_extract_output_length(cfg, 800) == ((800 - 10) // 5 + 1 - 3) // 2 + 1
+
+
+def _write_raw_wav(path, fmt_tag, n_ch, sr, bits, payload: bytes,
+                   extensible=False):
+    """Hand-rolled RIFF writer (stdlib wave can't write float or extensible
+    files, which is exactly why read_wav parses RIFF itself)."""
+    import struct
+
+    if extensible:
+        # WAVE_FORMAT_EXTENSIBLE: cbSize=22, SubFormat GUID head = real tag
+        sub = struct.pack("<H", fmt_tag) + b"\x00\x00" + bytes(
+            [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA,
+             0x00, 0x38, 0x9B, 0x71]
+        )
+        fmt = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, n_ch, sr, sr * n_ch * bits // 8,
+            n_ch * bits // 8, bits, 22, bits, 0x4,
+        ) + sub
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", fmt_tag, n_ch, sr, sr * n_ch * bits // 8,
+            n_ch * bits // 8, bits,
+        )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if len(fmt) % 2:
+        body += b"\x00"
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_wav_ieee_float32_and_float64(tmp_path):
+    """Format tag 3 (IEEE float): stdlib wave raises wave.Error on these on
+    every CPython version — read_wav must parse them anyway."""
+    t = np.arange(400) / 8000.0
+    wav = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+
+    pf32 = str(tmp_path / "f32.wav")
+    _write_raw_wav(pf32, 3, 1, 8000, 32, wav.astype("<f4").tobytes())
+    got, sr = read_wav(pf32)
+    assert sr == 8000
+    np.testing.assert_allclose(got, wav, atol=0)
+
+    pf64 = str(tmp_path / "f64.wav")
+    _write_raw_wav(pf64, 3, 1, 8000, 64, wav.astype("<f8").tobytes())
+    got64, _ = read_wav(pf64)
+    np.testing.assert_allclose(got64, wav, atol=1e-7)
+
+
+def test_wav_quiet_int32_pcm_not_misread_as_float(tmp_path):
+    """Low-amplitude int32 PCM (|s| < 2^30) reinterprets to tiny finite
+    floats — the old width-4 heuristic returned near-silence. The format
+    tag disambiguates: int32 PCM decodes to the real waveform."""
+    t = np.arange(400) / 8000.0
+    wav = (0.01 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)  # quiet
+    i32 = np.round(wav * (1 << 31)).astype("<i4")
+
+    p = str(tmp_path / "i32.wav")
+    _write_raw_wav(p, 1, 1, 8000, 32, i32.tobytes())
+    got, _ = read_wav(p)
+    np.testing.assert_allclose(got, wav, atol=1e-6)
+    assert np.abs(got).max() > 0.009  # NOT near-silent garbage
+
+
+def test_wav_extensible_wrapper(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) wrapping float32: the real tag
+    lives in the SubFormat GUID."""
+    t = np.arange(200) / 8000.0
+    wav = (0.25 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    p = str(tmp_path / "ext.wav")
+    _write_raw_wav(p, 3, 1, 8000, 32, wav.astype("<f4").tobytes(),
+                   extensible=True)
+    got, sr = read_wav(p)
+    assert sr == 8000
+    np.testing.assert_allclose(got, wav, atol=0)
+
+
+def test_wav_non_riff_rejected(tmp_path):
+    p = str(tmp_path / "bogus.wav")
+    with open(p, "wb") as f:
+        f.write(b"NOT A WAV FILE AT ALL, JUST BYTES")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        read_wav(p)

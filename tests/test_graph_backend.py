@@ -588,3 +588,53 @@ def test_merged_export_static_cache_interpret():
     )
     # decoder cache grew to prompt + generated - 1 fed tokens
     assert be.cache["past_key_values.0.decoder.key"].shape[1] == 2 + 7
+
+
+def build_merged_decoder_graph(rng):
+    """Decoder-only MERGED-export pattern: the mask-honoring decoder graph
+    plus a ``use_cache_branch`` selector consumed by an If (first call = 0
+    → else branch, later calls = 1 → then branch). The branches add
+    different constants to the logits, so a backend that fails to feed the
+    selector crashes, and one feeding a wrong constant sequence diverges
+    from the legacy path."""
+    g = build_decoder_graph(rng)
+    lid = g.get_node_id("logits")
+    g.nodes[lid].name = "logits_pre"
+    ucb = g.add_value("use_cache_branch", [1])
+    g.inputs.append(ucb)
+
+    then_g = Graph()
+    tz = then_g.add_constant("tz", np.float32(0.0))
+    tout = then_g.add_simple_op("Identity", [tz], name="tid")
+    then_g.outputs = [tout]
+    else_g = Graph()
+    ez = else_g.add_constant("ez", np.float32(0.5))
+    eout = else_g.add_simple_op("Identity", [ez], name="eid")
+    else_g.outputs = [eout]
+    sel = g.add_value("ucb_bias")
+    g.add_operator(
+        "ucb_if", "If", {"then_branch": then_g, "else_branch": else_g},
+        [ucb], [sel],
+    )
+    logits = g.add_value("logits")
+    g.add_operator("add_ucb", "Add", {}, [lid, sel], [logits])
+    g.outputs = [logits] + g.outputs[1:]
+    return g
+
+
+def test_merged_decoder_use_cache_branch_compiled():
+    """A merged export WITH attention_mask/position_ids must run on the
+    compiled bucketed path — use_cache_branch fed 0 at prefill and 1 on
+    every decode step — and match the legacy interpret path exactly."""
+    rng = np.random.default_rng(11)
+    model = Model(
+        build_merged_decoder_graph(rng),
+        options=ModelOptions(enable_optimization=False),
+    )
+    be = GraphBackend(model)
+    assert be.mode == "compiled"
+    toks_c = _generate(be, [3, 1, 4], 10)
+
+    be_i = GraphBackend(model, mode="interpret")
+    toks_i = _generate(be_i, [3, 1, 4], 10)
+    assert toks_c == toks_i

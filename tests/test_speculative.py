@@ -357,3 +357,33 @@ def test_generator_with_draft_batch_and_eos():
     ).with_prompt(prompt).with_draft(dk, k=2, rounds_per_call=2)
     got = np.stack(list(gen), 1)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_generator_with_draft_tight_max_len_stays_exact():
+    """A backend sized exactly prompt+max_tokens (correct for PLAIN
+    decoding) must not let the speculative clamp corrupt the stream: the
+    draft path grows the caches up front and stays token-exact."""
+    cfg_t = _cfg(layers=2)
+    cfg_d = _cfg(layers=1)
+    params_t = decoder.init_params(jax.random.PRNGKey(2), cfg_t)
+    params_d = decoder.init_params(jax.random.PRNGKey(5), cfg_d)
+    prompt = [5, 17, 3, 42]
+    n = 20
+
+    plain = Generator(
+        NativeBackend(params_t, cfg_t, max_len=128)
+    ).with_prompt(prompt)
+    ref = [int(t[0]) for t in itertools.islice(plain, n)]
+
+    tight = len(prompt) + n  # no speculative headroom at all
+    gen = (
+        Generator(
+            NativeBackend(params_t, cfg_t, max_len=tight),
+            GeneratorConfig(max_tokens=n),
+        )
+        .with_prompt(prompt)
+        .with_draft(NativeBackend(params_d, cfg_d, max_len=tight), k=3,
+                    rounds_per_call=2)
+    )
+    got = [int(t[0]) for t in itertools.islice(gen, n)]
+    assert got == ref
