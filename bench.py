@@ -114,7 +114,7 @@ def child_main() -> None:
     jax.devices()  # force backend init under the watchdog
     init_done.set()
 
-    budget_s = float(os.environ.get("RTEN_BENCH_BUDGET_S", "300"))
+    budget_s = float(os.environ.get("RTEN_BENCH_BUDGET_S", "420"))
     bench_t0 = time.perf_counter()
 
     def left():
@@ -161,8 +161,11 @@ def child_main() -> None:
     t_shorts: list[float] = []
     t_longs: list[float] = []
     wall = 0.0
-    max_pairs, min_pairs = 24, 3
-    headline_deadline = bench_t0 + 0.55 * budget_s
+    # Floor of 12 pairs (~3s wall): when slow tunnel compiles eat past the
+    # deadline before the loop starts, 3 back-to-back pairs gave the global
+    # minima almost no contention diversity (r04 first capture: pairs=3).
+    max_pairs, min_pairs = 24, 12
+    headline_deadline = bench_t0 + 0.45 * budget_s
     for i in range(max_pairs):
         t0 = time.perf_counter()
         jax.block_until_ready(run_once(2 * i + 1, n_short))
@@ -218,7 +221,7 @@ def child_main() -> None:
     # glitches and are discarded.
     mxu_peak_step = 2 * n**3 / (MXU_TFLOPS * 1e12)
     steps = []
-    prefill_deadline = bench_t0 + 0.8 * budget_s
+    prefill_deadline = bench_t0 + 0.65 * budget_s
     for _ in range(3):
         trials = 6 if left() > 0.35 * budget_s else 3
         steps.append(
@@ -382,7 +385,7 @@ def parent_main() -> None:
     — each child gets a brand-new backend."""
     attempts = int(os.environ.get("RTEN_BENCH_INIT_ATTEMPTS", "3"))
     init_s = float(os.environ.get("RTEN_BENCH_INIT_TIMEOUT_S", "180"))
-    budget_s = float(os.environ.get("RTEN_BENCH_BUDGET_S", "300"))
+    budget_s = float(os.environ.get("RTEN_BENCH_BUDGET_S", "420"))
     backoff_s = float(os.environ.get("RTEN_BENCH_RETRY_BACKOFF_S", "20"))
     errors: list[str] = []
     for attempt in range(attempts):

@@ -27,13 +27,24 @@ import subprocess
 import sys
 import time
 
+
+def _sh(cmd: str) -> None:
+    """Run a shell command and PROPAGATE failure: a phase whose inner
+    variant dies (compile error, timeout) must record rc!=0, not a silent
+    empty stdout (the batchedab VMEM-OOM was masked exactly this way)."""
+    rc = os.system(cmd)
+    if rc != 0:
+        print(f"[battery] inner command failed (rc {rc >> 8 or rc}): {cmd[:120]}...",
+              flush=True)
+        sys.exit(1)
+
 PHASES = [
-    ("census", 420),
+    ("census", 900),
     ("headline", 900),
     ("prefill", 700),
     ("batchedab", 900),
     ("argmaxab", 500),
-    ("gemvgeom", 700),
+    ("gemvgeom", 900),
     ("whisper", 900),
     ("engine", 700),
     ("tpover", 700),
@@ -72,7 +83,7 @@ def headline():
     # (~1680s worst case) would outlive the `timeout 700` and die before
     # printing the stale-fallback line. Worst case here ≈ 120 init + 240
     # budget + slack < 700.
-    os.system(
+    _sh(
         "cd /root/repo && RTEN_BENCH_BUDGET_S=240 RTEN_BENCH_INIT_ATTEMPTS=1 "
         "RTEN_BENCH_INIT_TIMEOUT_S=120 timeout 700 python bench.py"
     )
@@ -123,7 +134,7 @@ def prefill():
             "f = jax.jit(lambda s: jax.lax.scan(lambda c, _: (mm(c).astype(c.dtype), None), a0, None, length=s)[0], static_argnums=0);\n"
             "t = min(marginal_step_time(lambda s: f(s), 64, 512, trials=6) for _ in range(2));\n"
             "print('pipe', __import__('os').environ['RTEN_PREFILL_PIPE'], 2*n**3/t/1e12, 'TF/s')\"")
-        os.system(cmd)
+        _sh(cmd)
 
 
 def whisper():
@@ -149,7 +160,7 @@ def whisper():
             "    return tok\n"
             "t = min(marginal_step_time(lambda s: chain(steps=s), 64, 384, trials=5) for _ in range(2));\n"
             "print('ed_fuse', __import__('os').environ['RTEN_ED_FUSE'], t*1e3, 'ms/step')\"")
-        os.system(cmd)
+        _sh(cmd)
 
 
 def batchedab():
@@ -172,7 +183,7 @@ def batchedab():
             "    return toks\n"
             "t = min(marginal_step_time(run, 64, 384, trials=5) for _ in range(2));\n"
             "print('batched', __import__('os').environ['RTEN_BATCHED_ATTN'], t*1e6, 'us/step ->', 8/t, 'tok/s aggregate')\"")
-        os.system(cmd)
+        _sh(cmd)
 
 
 def gemvgeom():
@@ -192,7 +203,9 @@ def gemvgeom():
         qw, qs = quantize_weights_int8(rng.standard_normal((k, n)).astype(np.float32))
         mats.append((jnp.asarray(qw), jnp.asarray(qs)))
 
-    for bk in (None, 384, 256, 128):
+    # trimmed sweep (the 12-combo grid outlived its window): whole-K vs the
+    # best K-block, across the three N widths + per-geometry flush.
+    for bk in (None, 256):
         for bn in (1024, 2048, 4096):
             def fn(c, mats=mats, bk=bk, bn=bn):
                 for qd, sd in mats:
@@ -390,6 +403,7 @@ def run_all(out_path: str) -> None:
                 [sys.executable, os.path.abspath(__file__), name],
                 capture_output=True, text=True, timeout=timeout_s,
                 cwd="/root/repo",
+                env=dict(os.environ, PYTHONUNBUFFERED="1"),
             )
             rec = {
                 "rc": proc.returncode,
@@ -397,9 +411,12 @@ def run_all(out_path: str) -> None:
                 "stderr": proc.stderr[-2000:],
             }
         except subprocess.TimeoutExpired as e:
+            out = e.stdout
+            if isinstance(out, bytes):
+                out = out.decode(errors="replace")
             rec = {
                 "rc": "timeout",
-                "stdout": (e.stdout or "")[-8000:] if isinstance(e.stdout, str) else "",
+                "stdout": (out or "")[-8000:],
                 "stderr": "phase timeout",
             }
         rec["wall_s"] = round(time.time() - t0, 1)

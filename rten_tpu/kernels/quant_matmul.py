@@ -386,6 +386,30 @@ def quant_gemv_int8(
     return out[:m, :n]
 
 
+def _q_epilogue(acc_ref, s_ref, b_ref, o_ref, *, activation):
+    """Scale/bias/activation epilogue, chunked over columns.
+
+    A [512, 3072] f32 chain of scale·acc (+bias, +gelu) materializes several
+    full-block f32 temporaries on Mosaic's scoped-VMEM stack — at batch-8
+    prefill shapes that overflowed the ~16 MB limit (37 MB observed) and
+    failed compilation. Sequential 512-lane chunks cap the live temps at
+    ~1 MB each; small blocks keep the single-pass path."""
+    bm, bn = acc_ref.shape
+    chunk = 512
+    if bm * bn * 4 <= (2 << 20) or bn <= chunk:
+        out = acc_ref[...] * s_ref[...].astype(jnp.float32)
+        if b_ref is not None:
+            out = out + b_ref[...].astype(jnp.float32)
+        o_ref[...] = _ACTIVATIONS[activation](out).astype(o_ref.dtype)
+        return
+    for c in range(0, bn, chunk):
+        sl = slice(c, min(c + chunk, bn))
+        out = acc_ref[:, sl] * s_ref[:, sl].astype(jnp.float32)
+        if b_ref is not None:
+            out = out + b_ref[:, sl].astype(jnp.float32)
+        o_ref[:, sl] = _ACTIVATIONS[activation](out).astype(o_ref.dtype)
+
+
 def _q_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, activation, n_k):
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -402,11 +426,7 @@ def _q_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, activation, n_k):
 
     @pl.when(pl.program_id(2) == n_k - 1)
     def _epilogue():
-        out = acc_ref[...] * s_ref[...].astype(jnp.float32)
-        if b_ref is not None:
-            out = out + b_ref[...].astype(jnp.float32)
-        out = _ACTIVATIONS[activation](out)
-        o_ref[...] = out.astype(o_ref.dtype)
+        _q_epilogue(acc_ref, s_ref, b_ref, o_ref, activation=activation)
 
 
 def _q_kernel_pipelined(
@@ -442,11 +462,7 @@ def _q_kernel_pipelined(
 
     @pl.when(kk == n_k)
     def _epilogue():
-        out = acc_ref[...] * s_ref[...].astype(jnp.float32)
-        if b_ref is not None:
-            out = out + b_ref[...].astype(jnp.float32)
-        out = _ACTIVATIONS[activation](out)
-        o_ref[...] = out.astype(o_ref.dtype)
+        _q_epilogue(acc_ref, s_ref, b_ref, o_ref, activation=activation)
 
 
 @functools.partial(
