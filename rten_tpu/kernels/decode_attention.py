@@ -282,8 +282,18 @@ def _decode_attn_kernel(
         if wob_ref is not None:
             out = out + wob_ref[...].astype(jnp.float32)
         if res_ref is not None:
-            out = out + res_ref[...].astype(jnp.float32)
-        o_ref[...] = out.astype(o_ref.dtype)
+            # 3-D refs are the sublane-padded per-row layout used when the
+            # per-cell grid runs at B>1 (a (1, Dm) block over a [B, Dm]
+            # array is illegal Mosaic tiling — the sublane block dim must
+            # be 8 or the full array dim); row 0 carries the data.
+            r = res_ref[...] if res_ref.ndim == 2 else res_ref[0, 0:1, :]
+            out = out + r.astype(jnp.float32)
+        if o_ref.ndim == 2:
+            o_ref[...] = out.astype(o_ref.dtype)
+        else:
+            o_ref[0] = jnp.broadcast_to(
+                out.astype(o_ref.dtype), o_ref.shape[1:]
+            )
     if has_new:
         # Await the deferred cache-append writes only now — an un-waited DMA
         # at kernel exit is a hardware fault, but nothing in THIS kernel
@@ -732,11 +742,24 @@ def decode_attention(
         ]
     out_dtype = packed_qkv.dtype if packed else q.dtype
     fused_wo = wo_q is not None
+    # Per-cell grid at B>1: a (1, Dm) block over a [B, Dm] array is illegal
+    # Mosaic tiling (sublane block dim must be 8 or the full array dim), so
+    # per-row 2-D operands get a sublane-padded [B, 8, Dm] layout with
+    # (1, 8, Dm) blocks; row 0 carries the data.
+    pad_rows = fused_wo and not batched and b > 1
     if fused_wo:
         dm = wo_q.shape[1]
         assert wo_q.shape[0] == h * d, (wo_q.shape, h, d)
-        attn_out_shape = jax.ShapeDtypeStruct((b, dm), out_dtype)
-        attn_out_spec = pl.BlockSpec((lead, dm), lambda bi, *_: (_ix(bi), 0))
+        if pad_rows:
+            attn_out_shape = jax.ShapeDtypeStruct((b, 8, dm), out_dtype)
+            attn_out_spec = pl.BlockSpec(
+                (1, 8, dm), lambda bi, *_: (bi, 0, 0)
+            )
+        else:
+            attn_out_shape = jax.ShapeDtypeStruct((b, dm), out_dtype)
+            attn_out_spec = pl.BlockSpec(
+                (lead, dm), lambda bi, *_: (_ix(bi), 0)
+            )
     else:
         attn_out_shape = jax.ShapeDtypeStruct((b, hk, gp, _LANES), out_dtype)
         attn_out_spec = pl.BlockSpec(
@@ -778,10 +801,20 @@ def decode_attention(
             in_specs.append(pl.BlockSpec((1, dm), lambda bi, *_: (0, 0)))
             wo_have.append("wob")
         if residual is not None:
-            args.append(residual.reshape(b, dm))
-            in_specs.append(
-                pl.BlockSpec((lead, dm), lambda bi, *_: (_ix(bi), 0))
-            )
+            if pad_rows:
+                args.append(
+                    jnp.pad(
+                        residual.reshape(b, 1, dm), ((0, 0), (0, 7), (0, 0))
+                    )
+                )
+                in_specs.append(
+                    pl.BlockSpec((1, 8, dm), lambda bi, *_: (bi, 0, 0))
+                )
+            else:
+                args.append(residual.reshape(b, dm))
+                in_specs.append(
+                    pl.BlockSpec((lead, dm), lambda bi, *_: (_ix(bi), 0))
+                )
             wo_have.append("res")
 
     if fused_write:
@@ -867,6 +900,8 @@ def decode_attention(
     )(*args)
     def finish_attn(out):
         if fused_wo:
+            if pad_rows:
+                out = out[:, 0, :]  # drop the sublane padding rows
             return out  # [B, Dm] projected hidden
         return out[:, :, :group, :d].reshape(b, h, 1, d)
 
