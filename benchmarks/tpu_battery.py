@@ -13,7 +13,7 @@ Phases, priority order:
   census    — HLO census of the decode step (copies/fusions; lane-pad check)
   headline  — bench.py headline (decode tok/s vs roofline; also refreshes
               BENCH_midround.json, the outage fallback)
-  prefill   — prefill dequant+matmul TF/s, RTEN_PREFILL_PIPE=0 vs 1
+  prefill   — prefill dequant+matmul TF/s (2048^3 chain)
   batchedab — batch-8 decode, RTEN_BATCHED_ATTN=0 vs 1
   argmaxab  — greedy fused-argmax generate_scan vs TopK sampler path
   gemvgeom  — lm-head GEMV GB/s across (block_k, block_n) geometries
@@ -45,7 +45,7 @@ PHASES = [
     ("batchedab", 900),
     ("argmaxab", 500),
     ("gemvgeom", 900),
-    ("whisper", 900),
+    ("whisper", 1500),
     ("engine", 700),
     ("tpover", 700),
     ("specdec", 700),
@@ -119,28 +119,28 @@ def argmaxab():
 
 
 def prefill():
-    # run in subprocesses so the env flag re-reads (import-time snapshot)
-    for pipe in ("0", "1"):
-        cmd = (
-            f"cd /root/repo && RTEN_PREFILL_PIPE={pipe} timeout 300 python -c \""
-            "import jax, functools; import jax.numpy as jnp; import numpy as np;\n"
-            "from rten_tpu.kernels.quant_matmul import quant_matmul_int8, quantize_weights_int8;\n"
-            "from rten_tpu.utils.bench import marginal_step_time;\n"
-            "n = 2048; rng = np.random.default_rng(0);\n"
-            "a0 = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32), jnp.bfloat16);\n"
-            "qw, qs = quantize_weights_int8(rng.standard_normal((n, n)).astype(np.float32));\n"
-            "qd, sd = jnp.asarray(qw), jnp.asarray(qs);\n"
-            "mm = functools.partial(quant_matmul_int8, w_q=qd, scales=sd);\n"
-            "f = jax.jit(lambda s: jax.lax.scan(lambda c, _: (mm(c).astype(c.dtype), None), a0, None, length=s)[0], static_argnums=0);\n"
-            "t = min(marginal_step_time(lambda s: f(s), 64, 512, trials=6) for _ in range(2));\n"
-            "print('pipe', __import__('os').environ['RTEN_PREFILL_PIPE'], 2*n**3/t/1e12, 'TF/s')\"")
-        _sh(cmd)
+    """Prefill dequant+matmul TF/s at 2048^3 (the K-pipelined variant lost
+    its A/B — 160.4 vs 176.1 TF/s, r04 — and was deleted)."""
+    cmd = (
+        "timeout 300 python -c \""
+        "import jax, functools; import jax.numpy as jnp; import numpy as np;\n"
+        "from rten_tpu.kernels.quant_matmul import quant_matmul_int8, quantize_weights_int8;\n"
+        "from rten_tpu.utils.bench import marginal_step_time;\n"
+        "n = 2048; rng = np.random.default_rng(0);\n"
+        "a0 = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32), jnp.bfloat16);\n"
+        "qw, qs = quantize_weights_int8(rng.standard_normal((n, n)).astype(np.float32));\n"
+        "qd, sd = jnp.asarray(qw), jnp.asarray(qs);\n"
+        "mm = functools.partial(quant_matmul_int8, w_q=qd, scales=sd);\n"
+        "f = jax.jit(lambda s: jax.lax.scan(lambda c, _: (mm(c).astype(c.dtype), None), a0, None, length=s)[0], static_argnums=0);\n"
+        "t = min(marginal_step_time(lambda s: f(s), 64, 512, trials=6) for _ in range(2));\n"
+        "print('prefill', 2*n**3/t/1e12, 'TF/s')\"")
+    _sh(cmd)
 
 
 def whisper():
     for fuse in ("0", "1"):
         cmd = (
-            f"cd /root/repo && RTEN_ED_FUSE={fuse} timeout 400 python -c \""
+            f"cd /root/repo && RTEN_ED_FUSE={fuse} timeout 700 python -c \""
             "import jax, functools; import jax.numpy as jnp; import numpy as np;\n"
             "from rten_tpu.models import encoder_decoder as ed;\n"
             "from rten_tpu.utils.bench import marginal_step_time;\n"

@@ -527,17 +527,23 @@ def _decode_attn_kernel_batched(
             )
         o_ref[...] = out.astype(o_ref.dtype)
     else:
-        # attn [BH, Gp, D] → [B, Hk, G·D]; one batched dot against the
-        # shared per-head W_o slabs (lhs batch dim 1 ↔ rhs batch dim 0),
-        # summed over heads.
+        # attn [BH, Gp, D] → [B, Hk, G·D]; per-head dots against the W_o
+        # slabs, summed (the head sum IS the K contraction of the flat
+        # output projection). A batched dot_general with lhs batch dim 1 ↔
+        # rhs batch dim 0 fails Mosaic ("batch dims must be equal" — it
+        # requires equal POSITIONS), and flattening attn to [B, Hk·G·D]
+        # would be a sublane→lane relayout; the static head loop avoids
+        # both.
         attn = final[:, :group, :].reshape(B, hk, group * d)
-        part = jax.lax.dot_general(
-            attn,
-            wo_ref[...].astype(jnp.float32),
-            (((2,), (1,)), ((1,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [Hk, B, Dm]
-        out = jnp.sum(part, axis=0) * wos_ref[...].astype(jnp.float32)
+        out = None
+        for hh in range(hk):
+            p = jnp.dot(
+                attn[:, hh, :],
+                wo_ref[hh].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )  # [B, Dm]
+            out = p if out is None else out + p
+        out = out * wos_ref[...].astype(jnp.float32)
         if wob_ref is not None:
             out = out + wob_ref[...].astype(jnp.float32)
         if res_ref is not None:

@@ -26,13 +26,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rten_tpu.kernels.matmul_pallas import _ACTIVATIONS, _pad_to, pick_block
 
-# Default for the K-pipelined dequant variant (see quant_matmul_int8's
-# ``pipelined`` kwarg). Read ONCE at import — mid-process env toggles are
-# inert (the flag shapes the traced program but is not part of the jit
-# key); per-call control goes through the jit-static kwarg.
-_PREFILL_PIPE_DEFAULT = os.environ.get("RTEN_PREFILL_PIPE", "0") == "1"
-
-
 def quantize_weights_int8(w, axis: int = -1):
     """Symmetric per-channel int8 quantization of a weight matrix.
 
@@ -429,47 +422,11 @@ def _q_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, activation, n_k):
         _q_epilogue(acc_ref, s_ref, b_ref, o_ref, activation=activation)
 
 
-def _q_kernel_pipelined(
-    x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, cvt_ref, *, activation, n_k
-):
-    """K-pipelined dequant: the VPU conversion of weight tile kk runs in the
-    same grid step as the MXU dot of tile kk-1 — the two have no data
-    dependency, so the static scheduler can overlap them instead of
-    serializing convert→dot every step (the ~10% gap between the dequant
-    path and plain bf16 matmul). The K grid has n_k+1 steps: step 0 only
-    seeds the first conversion (one pipeline-fill bubble per (i, j) pass);
-    the w/x index maps are clamped so no extra HBM traffic is issued."""
-    kk = pl.program_id(2)
-
-    @pl.when(kk == 0)
-    def _seed():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        cvt_ref[0] = w_ref[...].astype(jnp.float32).astype(x_ref.dtype)
-
-    @pl.when(kk > 0)
-    def _dot():  # tile kk-1, converted last step
-        acc_ref[...] += jnp.dot(
-            x_ref[...],
-            cvt_ref[jax.lax.rem(kk + 1, 2)],
-            preferred_element_type=jnp.float32,
-        )
-
-    @pl.when(jnp.logical_and(kk > 0, kk < n_k))
-    def _convert():  # tile kk, independent of the dot above
-        cvt_ref[jax.lax.rem(kk, 2)] = (
-            w_ref[...].astype(jnp.float32).astype(x_ref.dtype)
-        )
-
-    @pl.when(kk == n_k)
-    def _epilogue():
-        _q_epilogue(acc_ref, s_ref, b_ref, o_ref, activation=activation)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
         "activation", "block_m", "block_n", "block_k", "out_dtype",
-        "interpret", "pipelined",
+        "interpret",
     ),
 )
 def quant_matmul_int8(
@@ -484,7 +441,6 @@ def quant_matmul_int8(
     block_k: int = 512,
     out_dtype=None,
     interpret: bool = False,
-    pipelined: bool | None = None,
 ):
     """out = activation((x @ w_q) * scales + bias).
 
@@ -530,37 +486,19 @@ def quant_matmul_int8(
     np_ = wp.shape[1]
     n_k = kp // block_k
 
-    # The K-pipelined dequant variant (the VPU tile conversion overlaps the
-    # previous MXU dot; one extra grid step per (i, j) pass as pipeline
-    # fill). Default from RTEN_PREFILL_PIPE read once at module import;
-    # per-call override via the ``pipelined`` jit-static kwarg.
-    if pipelined is None:
-        pipelined = _PREFILL_PIPE_DEFAULT
-    if pipelined:
-        in_specs = [
-            pl.BlockSpec(
-                (block_m, block_k),
-                lambda i, j, kk: (i, jnp.maximum(kk - 1, 0)),
-            ),
-            pl.BlockSpec(
-                (block_k, block_n),
-                lambda i, j, kk: (jnp.minimum(kk, n_k - 1), j),
-            ),
-            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
-        ]
-        base_kernel, grid_k = _q_kernel_pipelined, n_k + 1
-        scratch = [
-            pltpu.VMEM((block_m, block_n), jnp.float32),
-            pltpu.VMEM((2, block_k, block_n), x.dtype),
-        ]
-    else:
-        in_specs = [
-            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
-            pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
-        ]
-        base_kernel, grid_k = _q_kernel, n_k
-        scratch = [pltpu.VMEM((block_m, block_n), jnp.float32)]
+    # (A K-pipelined dequant variant — explicit double-buffered tile
+    # conversion overlapping the previous MXU dot — was built and A/B'd on
+    # v5e: 160.4 TF/s vs 176.1 for this kernel at 2048^3, BATTERY_r04 phase
+    # `prefill`. Mosaic's static scheduler already overlaps the VPU convert
+    # with the MXU dot across grid steps; the manual pipeline only added a
+    # fill bubble per (i, j) pass. Deleted as a measured loser.)
+    in_specs = [
+        pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
+        pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j)),
+        pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
+    ]
+    base_kernel, grid_k = _q_kernel, n_k
+    scratch = [pltpu.VMEM((block_m, block_n), jnp.float32)]
     args = [xp, wp, sp]
     if bias is not None:
         bp = _pad_to(bias.reshape(1, -1), block_n, 1)
