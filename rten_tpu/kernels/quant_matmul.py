@@ -39,6 +39,57 @@ def quantize_weights_int8(w, axis: int = -1):
     return q, np.squeeze(scales, axis=reduce_axes).astype(np.float32)
 
 
+def gemv_weight_kn(w_q):
+    """Logical (K, N) of an int8 weight in either storage layout: 2-D
+    row-major ``[K, N]`` or contiguous-tiled ``[S, K, bn]`` (N = S*bn)."""
+    if w_q.ndim == 3:
+        return w_q.shape[1], w_q.shape[0] * w_q.shape[2]
+    return w_q.shape
+
+
+def tile_gemv_weights(w_q, block_n: int = 2048):
+    """Re-lay a row-major ``[K, N]`` int8 matrix as contiguous N-stripes
+    ``[S, K, bn]`` (stripe j = columns ``j*bn:(j+1)*bn``, contiguous in HBM).
+
+    Why: the GEMV weight stream is the decode step's dominant cost, and a
+    ``[K, bn]`` stripe of a row-major matrix DMAs as K separate bn-byte
+    reads at an N-byte stride — measured ~570-600 GB/s on v5e for the
+    lm_head geometry (768×51200, bn 1024-4096) vs ~830 GB/s for linear
+    reads. Pre-tiling makes every stripe one linear read. N is zero-padded
+    up to a ``block_n`` multiple (callers already slice padding off via
+    the logical-N return slice / ``out_dim``)."""
+    k, n = w_q.shape
+    w = np.asarray(w_q)
+    pad = -n % block_n
+    if pad:
+        w = np.pad(w, ((0, 0), (0, pad)))
+    s_tiles = w.shape[1] // block_n
+    return jnp.asarray(
+        np.ascontiguousarray(
+            w.reshape(k, s_tiles, block_n).transpose(1, 0, 2)
+        )
+    )
+
+
+def tile_gemv_pack(pack: dict, block_n: int = 2048) -> dict:
+    """Tile a quantized ``{"q": [K, N] int8, "s": [1, N] f32}`` pack to the
+    contiguous-stripe layout, keeping the scales exactly as wide as the
+    padded N (the matmul kernel's stripe specs index scales by stripe)."""
+    wt = tile_gemv_weights(pack["q"], block_n)
+    n_pad = wt.shape[0] * wt.shape[2]
+    s = jnp.asarray(pack["s"]).reshape(-1)
+    if s.shape[0] < n_pad:
+        s = jnp.pad(s, (0, n_pad - s.shape[0]))
+    return {"q": wt, "s": s.reshape(1, -1)}
+
+
+def untile_gemv_weights(w_tiled, n: int | None = None):
+    """Inverse of tile_gemv_weights: ``[S, K, bn] → [K, N]`` (sliced to n)."""
+    s, k, bn = w_tiled.shape
+    out = jnp.transpose(w_tiled, (1, 0, 2)).reshape(k, s * bn)
+    return out if n is None else out[:, :n]
+
+
 def _normalize_rows(x, norm, norm_eps, ns_ref, nb_ref):
     """Fused pre-norm on the full [M, K] activation rows (f32)."""
     if norm == "rmsnorm":
@@ -137,7 +188,8 @@ def _gemv_kernel(
     # f32 dots run the MXU at 1/6 rate and stop hiding under the weight DMA
     # on wide stripes.
     dot_dtype = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
-    w = w_ref[...].astype(dot_dtype)
+    w_blk = w_ref[0] if w_ref.ndim == 3 else w_ref[...]
+    w = w_blk.astype(dot_dtype)
     acc = jnp.dot(x.astype(dot_dtype), w, preferred_element_type=jnp.float32)
     out = acc * s_ref[...]
     _gemv_epilogue(
@@ -190,7 +242,8 @@ def _gemv_kernel_kblocked(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     dot_dtype = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
-    w = w_ref[...].astype(jnp.float32).astype(dot_dtype)
+    w_blk = w_ref[0] if w_ref.ndim == 3 else w_ref[...]
+    w = w_blk.astype(jnp.float32).astype(dot_dtype)
     acc_ref[...] += jnp.dot(
         xn_scr[kk].astype(dot_dtype), w, preferred_element_type=jnp.float32
     )
@@ -241,9 +294,15 @@ def quant_gemv_int8(
     surrounding elementwise ops of a transformer block into the weight
     stream, eliminating their kernel launches and HBM round trips.
     M is padded to the f32 sublane minimum (8); x is promoted to f32 so the
-    8-row tile is legal and the norm/epilogue math stays exact."""
+    8-row tile is legal and the norm/epilogue math stays exact.
+
+    ``w_q`` may be 2-D row-major ``[K, N]`` or contiguous-tiled
+    ``[S, K, bn]`` (tile_gemv_weights): tiled stripes DMA as ONE linear
+    HBM read instead of K strided row reads (~830 vs ~570-600 GB/s
+    measured on the lm_head geometry)."""
     m, k = x.shape
-    k2, n = w_q.shape
+    w3d = w_q.ndim == 3
+    k2, n = gemv_weight_kn(w_q)
     assert k == k2 and m <= 8, (x.shape, w_q.shape)
     out_dtype = out_dtype or x.dtype
 
@@ -252,10 +311,11 @@ def quant_gemv_int8(
     # conversion now happens in VMEM inside the kernel).
     mp = m
     xp = x
-    bn = pick_block(n, block_n)
-    wp = _pad_to(w_q, bn, 1)
+    bn = w_q.shape[2] if w3d else pick_block(n, block_n)
+    wp = w_q if w3d else _pad_to(w_q, bn, 1)
     sp = _pad_to(scales.reshape(1, -1), bn, 1)
-    np_ = wp.shape[1]
+    np_ = n if w3d else wp.shape[1]
+    assert not w3d or sp.shape[1] == np_, (sp.shape, wp.shape)
 
     # K-blocking: [block_k, block_n] weight tiles when block_k divides K
     # (shorter, wider DMA stripes run closer to the HBM ceiling — see
@@ -265,13 +325,17 @@ def quant_gemv_int8(
     if kb:
         in_specs = [
             pl.BlockSpec((mp, k), lambda j, kk: (0, 0)),
-            pl.BlockSpec((kb, bn), lambda j, kk: (kk, j)),
+            pl.BlockSpec((1, kb, bn), lambda j, kk: (j, kk, 0))
+            if w3d
+            else pl.BlockSpec((kb, bn), lambda j, kk: (kk, j)),
             pl.BlockSpec((1, bn), lambda j, kk: (0, j)),
         ]
     else:
         in_specs = [
             pl.BlockSpec((mp, k), lambda j: (0, 0)),
-            pl.BlockSpec((k, bn), lambda j: (0, j)),
+            pl.BlockSpec((1, k, bn), lambda j: (j, 0, 0))
+            if w3d
+            else pl.BlockSpec((k, bn), lambda j: (0, j)),
             pl.BlockSpec((1, bn), lambda j: (0, j)),
         ]
 
@@ -412,7 +476,8 @@ def _q_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, activation, n_k):
     # applied once in the epilogue). The int8→f32→bf16 double conversion is
     # deliberate: Mosaic lowers it faster than a direct int8→bf16 retile
     # (measured 123 vs 87 TF/s at 1024³ on v5e).
-    w_tile = w_ref[...].astype(jnp.float32).astype(x_ref.dtype)
+    w_blk = w_ref[0] if w_ref.ndim == 3 else w_ref[...]
+    w_tile = w_blk.astype(jnp.float32).astype(x_ref.dtype)
     acc_ref[...] += jnp.dot(
         x_ref[...], w_tile, preferred_element_type=jnp.float32
     )
@@ -455,7 +520,8 @@ def quant_matmul_int8(
     preference degrades gracefully for small N.
     """
     m, k = x.shape
-    k2, n = w_q.shape
+    w3d = w_q.ndim == 3
+    k2, n = gemv_weight_kn(w_q)
     assert k == k2
     out_dtype = out_dtype or x.dtype
 
@@ -474,16 +540,22 @@ def quant_matmul_int8(
         )
 
     block_m = min(block_m, max(128, -(-m // 128) * 128))
-    block_n = pick_block(n, block_n)
+    bn_t = w_q.shape[2] if w3d else None
+    block_n = pick_block(bn_t if w3d else n, block_n)
     # int8 min tile is (32, 128); divisor blocks avoid re-padding weights
     # inside a traced decode step (a full-matrix copy per step otherwise).
     block_k = pick_block(k, block_k)
+    if w3d:
+        # Tiled weights can't be re-padded in-trace; the tile layout
+        # guarantees 128-multiple K and bn (tile_gemv_weights operates on
+        # already-padded quantized matrices).
+        assert k % block_k == 0 and bn_t % block_n == 0, (w_q.shape, block_k, block_n)
 
     xp = _pad_to(_pad_to(x, block_m, 0), block_k, 1)
-    wp = _pad_to(_pad_to(w_q, block_k, 0), block_n, 1)
+    wp = w_q if w3d else _pad_to(_pad_to(w_q, block_k, 0), block_n, 1)
     sp = _pad_to(scales.reshape(1, -1), block_n, 1)
     mp, kp = xp.shape
-    np_ = wp.shape[1]
+    np_ = n if w3d else wp.shape[1]
     n_k = kp // block_k
 
     # (A K-pipelined dequant variant — explicit double-buffered tile
@@ -492,9 +564,14 @@ def quant_matmul_int8(
     # `prefill`. Mosaic's static scheduler already overlaps the VPU convert
     # with the MXU dot across grid steps; the manual pipeline only added a
     # fill bubble per (i, j) pass. Deleted as a measured loser.)
+    r_n = (bn_t // block_n) if w3d else 1
     in_specs = [
         pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
-        pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j)),
+        pl.BlockSpec(
+            (1, block_k, block_n), lambda i, j, kk: (j // r_n, kk, j % r_n)
+        )
+        if w3d
+        else pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j)),
         pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
     ]
     base_kernel, grid_k = _q_kernel, n_k

@@ -33,6 +33,14 @@ from rten_tpu.kernels import dispatch
 from rten_tpu.kernels.attention import attention_reference, flash_attention
 from rten_tpu.kernels.quant_matmul import quantize_weights_int8
 
+# Contiguous-tiled lm_head storage (tile_gemv_weights): stripe DMAs run
+# linear (~830 GB/s) instead of K strided row reads (~570-600 measured) —
+# the lm_head is ~31% of the per-token weight stream on GPT-2-small.
+# Snapshotted ONCE at import (jit-cache-key discipline, ADVICE r3).
+import os as _os
+
+_TILE_LMHEAD_BN: int | None = int(_os.environ.get("RTEN_TILE_LMHEAD", "0")) or None
+
 
 @dataclasses.dataclass(frozen=True)
 class DecoderConfig:
@@ -135,7 +143,9 @@ def _norm_params(cfg: DecoderConfig, d: int) -> dict:
     return p
 
 
-def quantize_params_int8(params: dict, *, fuse: bool = True) -> dict:
+def quantize_params_int8(
+    params: dict, *, fuse: bool = True, tile_lm_head_bn: int | None | str = "env"
+) -> dict:
     """Weight-only INT8: every ≥2-D projection matrix becomes
     {"q": int8, "s": f32 per-out-channel scales} (BASELINE.json INT8 path).
 
@@ -191,6 +201,9 @@ def quantize_params_int8(params: dict, *, fuse: bool = True) -> dict:
             return node
         return q(node)
 
+    if tile_lm_head_bn == "env":
+        tile_lm_head_bn = _TILE_LMHEAD_BN
+
     out = walk(params)
     if "lm_head" not in out:
         # Tied embeddings: quantize the logits projection separately so the
@@ -200,6 +213,13 @@ def quantize_params_int8(params: dict, *, fuse: bool = True) -> dict:
             np.asarray(params["tok_emb"], np.float32).T,
             dense_dtype=params["tok_emb"].dtype,
         )
+
+    if tile_lm_head_bn:
+        from rten_tpu.kernels.quant_matmul import tile_gemv_pack
+
+        head_key = "lm_head_q" if "lm_head_q" in out else "lm_head"
+        if isinstance(out.get(head_key), dict):
+            out[head_key] = tile_gemv_pack(out[head_key], tile_lm_head_bn)
 
     if not fuse:
         return out
@@ -323,14 +343,14 @@ def _proj(x, w, b=None, out_dim: int | None = None, activation: str | None = Non
     padding back off). On the int8 TPU path, bias and activation fuse into
     the Pallas kernel epilogue."""
     if isinstance(w, dict):
-        from rten_tpu.kernels.quant_matmul import quant_matmul_int8
+        from rten_tpu.kernels.quant_matmul import gemv_weight_kn, quant_matmul_int8
 
         shape = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
-        pad_k = w["q"].shape[0] - x2.shape[-1]
+        w_k, n_kernel = gemv_weight_kn(w["q"])
+        pad_k = w_k - x2.shape[-1]
         if pad_k:
             x2 = jnp.pad(x2, ((0, 0), (0, pad_k)))
-        n_kernel = w["q"].shape[1]
         unpadded = out_dim is None or out_dim == n_kernel
         epilogue_fused = dispatch.on_tpu() and unpadded
         if epilogue_fused:
@@ -338,7 +358,12 @@ def _proj(x, w, b=None, out_dim: int | None = None, activation: str | None = Non
         elif dispatch.on_tpu():
             out = quant_matmul_int8(x2, w["q"], w["s"])
         else:
-            out = x2 @ (w["q"].astype(x.dtype) * w["s"].astype(x.dtype))
+            w_q = w["q"]
+            if w_q.ndim == 3:
+                from rten_tpu.kernels.quant_matmul import untile_gemv_weights
+
+                w_q = untile_gemv_weights(w_q)
+            out = x2 @ (w_q.astype(x.dtype) * w["s"].astype(x.dtype))
         out = out.reshape(*shape, -1)
         if out_dim is not None and out.shape[-1] != out_dim:
             out = out[..., :out_dim]
@@ -421,11 +446,13 @@ def forward(
         if norm_p is not None and not fuse_norm:
             src = _norm(src, norm_p, cfg)
             norm_p = None
+        from rten_tpu.kernels.quant_matmul import gemv_weight_kn
+
         if (
             fuse
             and isinstance(w, dict)
-            and w["q"].shape[0] == src.shape[-1]
-            and (residual is None or w["q"].shape[1] == residual.shape[-1])
+            and gemv_weight_kn(w["q"])[0] == src.shape[-1]
+            and (residual is None or gemv_weight_kn(w["q"])[1] == residual.shape[-1])
         ):
             from rten_tpu.kernels.quant_matmul import quant_gemv_int8
 
@@ -824,7 +851,7 @@ def forward(
             if (
                 lm_head_mode == "argmax"
                 and fuse_norm
-                and head["q"].shape[0] == cfg.d_model
+                and head["q"].shape[-2] == cfg.d_model
             ):
                 from rten_tpu.kernels.quant_matmul import quant_gemv_int8
 

@@ -728,3 +728,102 @@ def test_decode_attention_int8_batched_matches_per_cell(rng):
     np.testing.assert_array_equal(np.asarray(ks1), np.asarray(ks0))
     np.testing.assert_array_equal(np.asarray(vs1), np.asarray(vs0))
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), rtol=1e-5, atol=1e-5)
+
+
+def test_quant_gemv_tiled_layout_parity(rng):
+    """Contiguous-tiled [S, K, bn] weights (tile_gemv_weights) must match
+    the row-major layout bit-for-bit through every GEMV mode — plain,
+    fused norm/bias/act/residual, argmax epilogue, and K-blocked — since
+    the tile is the same [K, bn] stripe, just stored linear in HBM."""
+    from rten_tpu.kernels.quant_matmul import (
+        gemv_weight_kn,
+        quant_gemv_int8,
+        tile_gemv_pack,
+        tile_gemv_weights,
+        untile_gemv_weights,
+    )
+
+    k, n = 512, 384
+    x = rng.standard_normal((3, k)).astype(np.float32)
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    w_q, s = quantize_weights_int8(w, axis=-1)
+    wt = tile_gemv_weights(w_q, 128)  # [3, 512, 128]
+    assert wt.shape == (3, k, 128)
+    assert gemv_weight_kn(wt) == (k, n)
+    np.testing.assert_array_equal(np.asarray(untile_gemv_weights(wt, n)), w_q)
+
+    b = rng.standard_normal(n).astype(np.float32) * 0.1
+    r = rng.standard_normal((3, n)).astype(np.float32)
+    ns = rng.uniform(0.5, 1.5, k).astype(np.float32)
+
+    for kwargs in (
+        dict(),
+        dict(bias=b, activation="gelu"),
+        dict(norm="rmsnorm", norm_scale=ns, bias=b, residual=r),
+        dict(block_k=128),
+    ):
+        ref = quant_gemv_int8(x, w_q, s, block_n=128, interpret=True, **kwargs)
+        got = quant_gemv_int8(x, wt, s, interpret=True, **kwargs)
+        np.testing.assert_array_equal(np.asarray(got)[:, :n], np.asarray(ref))
+
+    # argmax epilogue (the greedy lm-head configuration)
+    ref_am = quant_gemv_int8(x, w_q, s, argmax_n=300, block_n=128, interpret=True)
+    got_am = quant_gemv_int8(x, wt, s, argmax_n=300, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_am), np.asarray(ref_am))
+
+    # tile padding: bn that does NOT divide N zero-pads the tail stripe
+    wt2 = tile_gemv_weights(w_q, 256)  # N 384 -> padded 512, S=2
+    pack = tile_gemv_pack({"q": w_q, "s": s.reshape(1, -1)}, 256)
+    assert pack["q"].shape == (2, k, 256) and pack["s"].shape == (1, 512)
+    got2 = quant_gemv_int8(x, wt2, pack["s"], interpret=True)
+    np.testing.assert_array_equal(np.asarray(got2)[:, :n], np.asarray(
+        quant_gemv_int8(x, w_q, s, block_n=128, interpret=True)))
+
+
+def test_quant_matmul_tiled_layout_parity(rng):
+    """Prefill-shape (M > 8) matmul through tiled weights: the (j // r, kk,
+    j % r) stripe indexing must reproduce the row-major result exactly."""
+    from rten_tpu.kernels.quant_matmul import quant_matmul_int8, tile_gemv_weights
+
+    k, n, m = 256, 512, 64
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    w_q, s = quantize_weights_int8(w, axis=-1)
+    ref = quant_matmul_int8(
+        x, w_q, s, block_m=128, block_n=128, block_k=128, interpret=True
+    )
+    for bn_tile in (256, 512):
+        wt = tile_gemv_weights(w_q, bn_tile)
+        got = quant_matmul_int8(
+            x, wt, s, block_m=128, block_n=128, block_k=128, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got)[:, :n], np.asarray(ref))
+
+
+def test_quantize_params_tiled_lm_head_decode_parity(rng):
+    """quantize_params_int8(tile_lm_head_bn=...) must leave every decode
+    surface token-exact: logits path, fused-argmax path, and prefill."""
+    from rten_tpu.models import decoder
+
+    cfg = decoder.DecoderConfig(
+        vocab_size=1000, n_layers=2, d_model=128, n_heads=2, max_seq=64
+    )
+    params = decoder.init_params(jax.random.PRNGKey(0), cfg)
+    qp = decoder.quantize_params_int8(params, tile_lm_head_bn=None)
+    qt = decoder.quantize_params_int8(params, tile_lm_head_bn=256)
+    assert qt["lm_head_q"]["q"].ndim == 3
+
+    prompt = jnp.asarray(np.arange(8, dtype=np.int32)[None])
+    c0 = decoder.init_cache(cfg, 1, 64)
+    l0, c0 = decoder.prefill(qp, cfg, prompt, c0)
+    c1 = decoder.init_cache(cfg, 1, 64)
+    l1, c1 = decoder.prefill(qt, cfg, prompt, c1)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0), rtol=1e-5, atol=1e-5)
+
+    t0, _ = decoder.generate_scan(
+        qp, cfg, c0, prompt[:, -1:], jax.random.PRNGKey(1), n_steps=8
+    )
+    t1, _ = decoder.generate_scan(
+        qt, cfg, c1, prompt[:, -1:], jax.random.PRNGKey(1), n_steps=8
+    )
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
