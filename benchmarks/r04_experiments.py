@@ -268,6 +268,54 @@ def gemvtile():
     rate("pure-DMA contiguous [1,768,4096] tiles", dmat, 2 * k * n)
 
 
+def tiledab():
+    """Decode headline A/B: contiguous-tiled lm_head (RTEN_TILE_LMHEAD)
+    vs row-major, sweeping the tile width. Layouts differ by SHAPE, so both
+    variants jit-cache cleanly in one process (no env-flag hazard).
+    Expectation from the pure-DMA controls: lm_head stream 570-600 ->
+    ~830 GB/s, worth ~20 us on a ~212 us best-known step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rten_tpu.models import decoder
+    from rten_tpu.utils.bench import marginal_step_time
+
+    cfg = decoder.DecoderConfig(dtype=jnp.bfloat16, max_seq=1024)
+    params = decoder.init_params(jax.random.PRNGKey(0), cfg)
+    prompt = jnp.asarray(np.arange(16, dtype=np.int32)[None])
+
+    variants = [("rowmajor", None), ("tiled-1024", 1024), ("tiled-2048", 2048),
+                ("tiled-4096", 4096)]
+    # bn=4096 pads the 51200 vocab to 53248 (tile_gemv_pack) — the 4% extra
+    # bytes stream too; the A/B decides if the wider DMA wins anyway.
+    qps = {
+        label: decoder.quantize_params_int8(params, tile_bn=bn)
+        for label, bn in variants
+    }
+
+    def run_for(qp):
+        def run(steps):
+            cache = decoder.init_cache(cfg, 1, 1024)
+            _, cache2 = decoder.prefill(qp, cfg, prompt, cache)
+            toks, _ = decoder.generate_scan(
+                qp, cfg, cache2, prompt[:, -1:], jax.random.PRNGKey(1),
+                n_steps=steps,
+            )
+            return toks
+        return run
+
+    # Interleave variants across reps so chip contention hits all equally.
+    results = {label: [] for label, _ in variants}
+    for _ in range(3):
+        for label, _ in variants:
+            results[label].append(
+                marginal_step_time(run_for(qps[label]), 64, 512, trials=4)
+            )
+    for label, _ in variants:
+        t = min(results[label])
+        print(f"{label}: {t*1e6:.1f} us/step  ({1.0/t:.0f} tok/s)", flush=True)
+
+
 if __name__ == "__main__":
     sys.path.insert(0, "/root/repo")
     globals()[sys.argv[1]]()

@@ -33,13 +33,15 @@ from rten_tpu.kernels import dispatch
 from rten_tpu.kernels.attention import attention_reference, flash_attention
 from rten_tpu.kernels.quant_matmul import quantize_weights_int8
 
-# Contiguous-tiled lm_head storage (tile_gemv_weights): stripe DMAs run
-# linear (~830 GB/s) instead of K strided row reads (~570-600 measured) —
-# the lm_head is ~31% of the per-token weight stream on GPT-2-small.
+# Contiguous-tiled GEMV weight storage (tile_gemv_weights): stripe DMAs
+# run linear (~830 GB/s) instead of K strided row reads (~570-600
+# measured). The lm_head is ~31% of the per-token weight stream on
+# GPT-2-small; on Llama-class models (layers too big for the whole-matrix
+# MLP kernel) nearly every projection streams via stripes and is eligible.
 # Snapshotted ONCE at import (jit-cache-key discipline, ADVICE r3).
 import os as _os
 
-_TILE_LMHEAD_BN: int | None = int(_os.environ.get("RTEN_TILE_LMHEAD", "0")) or None
+_TILE_GEMV_BN: int | None = int(_os.environ.get("RTEN_TILE_GEMV", "0")) or None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -144,7 +146,7 @@ def _norm_params(cfg: DecoderConfig, d: int) -> dict:
 
 
 def quantize_params_int8(
-    params: dict, *, fuse: bool = True, tile_lm_head_bn: int | None | str = "env"
+    params: dict, *, fuse: bool = True, tile_bn: int | None | str = "env"
 ) -> dict:
     """Weight-only INT8: every ≥2-D projection matrix becomes
     {"q": int8, "s": f32 per-out-channel scales} (BASELINE.json INT8 path).
@@ -201,8 +203,8 @@ def quantize_params_int8(
             return node
         return q(node)
 
-    if tile_lm_head_bn == "env":
-        tile_lm_head_bn = _TILE_LMHEAD_BN
+    if tile_bn == "env":
+        tile_bn = _TILE_GEMV_BN
 
     out = walk(params)
     if "lm_head" not in out:
@@ -214,14 +216,9 @@ def quantize_params_int8(
             dense_dtype=params["tok_emb"].dtype,
         )
 
-    if tile_lm_head_bn:
-        from rten_tpu.kernels.quant_matmul import tile_gemv_pack
-
-        head_key = "lm_head_q" if "lm_head_q" in out else "lm_head"
-        if isinstance(out.get(head_key), dict):
-            out[head_key] = tile_gemv_pack(out[head_key], tile_lm_head_bn)
-
     if not fuse:
+        # TP packs (parallel/tp.py) are sharded along N by the caller —
+        # never tiled here (the shard-side kernels take 2-D shards).
         return out
 
     # Fuse the Q/K/V projections into one kernel launch per layer (and
@@ -249,7 +246,81 @@ def quantize_params_int8(
                 )
                 fused.pop("w_gate", None)
                 fused.pop("w_up", None)
+
+    if tile_bn:
+        _tile_gemv_packs(out, tile_bn)
     return out
+
+
+def _tile_gemv_packs(out: dict, tile_bn: int) -> None:
+    """Re-lay every stripe-streamed GEMV pack as contiguous [S, K, bn]
+    tiles (in place). Eligibility mirrors forward's kernel selection:
+
+    - ``lm_head_q``/``lm_head``: always (consumed by the GEMV / fused-argmax
+      kernel; tile padding is sliced off via out_dim).
+    - layer ``w_up``/``w_down`` (GELU): only when the whole-matrix-VMEM MLP
+      kernel does NOT apply (mlp_fused_supported) — that kernel's one-shot
+      DMA is already linear.
+    - layer ``wqkv``: only when it can't ride the MLP kernel's next_qkv slot.
+    - SwiGLU ``w_gu``/``w_gate``/``w_up``: always (no MLP-kernel path).
+    - ``wo``: never — it feeds the fused-wo decode-attention kernel.
+
+    Layer packs use divisor-only tile widths (pick_block) so segment
+    slicing (q|k|v, gate|up) sees unchanged column positions."""
+    from rten_tpu.kernels.matmul_pallas import pick_block
+    from rten_tpu.kernels.quant_matmul import mlp_fused_supported, tile_gemv_pack
+
+    def tile_divisor(pack):
+        if not (isinstance(pack, dict) and pack.get("q") is not None):
+            return pack
+        if pack["q"].ndim != 2:
+            return pack
+        k, n = pack["q"].shape
+        bn = pick_block(n, tile_bn)
+        if bn >= n or n % bn:
+            return pack  # single stripe: whole-matrix DMA is already linear
+        return tile_gemv_pack(pack, bn)
+
+    head_key = "lm_head_q" if "lm_head_q" in out else "lm_head"
+    if isinstance(out.get(head_key), dict) and out[head_key]["q"].ndim == 2:
+        out[head_key] = tile_gemv_pack(out[head_key], tile_bn)
+
+    for li, layer in enumerate(out.get("layers", [])):
+        swiglu = "w_gu" in layer or "w_gate" in layer
+        for key in ("w_gu", "w_gate"):
+            if isinstance(layer.get(key), dict):
+                layer[key] = tile_divisor(layer[key])
+        if swiglu and isinstance(layer.get("w_up"), dict):
+            layer["w_up"] = tile_divisor(layer["w_up"])
+        wu, wd = layer.get("w_up"), layer.get("w_down")
+        if (
+            not swiglu
+            and isinstance(wu, dict)
+            and isinstance(wd, dict)
+            and wu["q"].ndim == 2
+        ):
+            d, ff = wu["q"].shape
+            if not mlp_fused_supported(d, ff):
+                layer["w_up"] = tile_divisor(wu)
+                layer["w_down"] = tile_divisor(wd)
+        wqkv = layer.get("wqkv")
+        if isinstance(wqkv, dict) and wqkv["q"].ndim == 2:
+            d, qkv_dim = wqkv["q"].shape
+            ff = (
+                wu["q"].shape[1]
+                if (not swiglu and isinstance(wu, dict) and wu["q"].ndim == 2)
+                else None
+            )
+            # Layer 0's qkv is always a GEMV (_fproj) — there is no previous
+            # layer's MLP kernel for it to ride as next_qkv.
+            rides_mlp = (
+                li > 0
+                and not swiglu
+                and ff is not None
+                and mlp_fused_supported(d, ff, qkv_dim)
+            )
+            if not rides_mlp:
+                layer["wqkv"] = tile_divisor(wqkv)
 
 
 # ---------------------------------------------------------------------------

@@ -143,26 +143,43 @@ def _mm(x, w):
     4: "Whisper ... INT8 weights"); int8 routes through the fused
     dequant+matmul / GEMV Pallas kernels on TPU."""
     if isinstance(w, dict):
-        from rten_tpu.kernels.quant_matmul import quant_matmul_int8
+        from rten_tpu.kernels.quant_matmul import gemv_weight_kn, quant_matmul_int8
 
         shape = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
-        pad_k = w["q"].shape[0] - x2.shape[-1]
+        pad_k = gemv_weight_kn(w["q"])[0] - x2.shape[-1]
         if pad_k:
             x2 = jnp.pad(x2, ((0, 0), (0, pad_k)))
         if dispatch.on_tpu():
             out = quant_matmul_int8(x2, w["q"], w["s"])
         else:
-            out = x2 @ (w["q"].astype(x.dtype) * w["s"].astype(x.dtype))
+            w_q = w["q"]
+            if w_q.ndim == 3:
+                from rten_tpu.kernels.quant_matmul import untile_gemv_weights
+
+                w_q = untile_gemv_weights(w_q)
+            out = x2 @ (w_q.astype(x.dtype) * w["s"].astype(x.dtype))
         return out.reshape(*shape, -1).astype(x.dtype)
     return dispatch.matmul(x, w)
 
 
-def quantize_params_int8(params: dict) -> dict:
+def quantize_params_int8(
+    params: dict, *, tile_bn: int | None | str = "env"
+) -> dict:
     """Weight-only INT8 over every projection matrix (attention + MLP +
     logits head); convs and embeddings stay dense. The tied logits
-    projection gets a dedicated padded ``lm_head_q``."""
+    projection gets a dedicated padded ``lm_head_q``.
+
+    ``tile_bn`` re-lays the decode-path stripe-streamed GEMV weights
+    (lm_head_q, fused wqkv, and the MLP matrices when the whole-matrix
+    kernel doesn't apply) as contiguous [S, K, bn] tiles — linear HBM
+    reads instead of strided row reads (see decoder._tile_gemv_packs)."""
     from rten_tpu.kernels.quant_matmul import quantize_weights_int8
+
+    if tile_bn == "env":
+        from rten_tpu.models.decoder import _TILE_GEMV_BN
+
+        tile_bn = _TILE_GEMV_BN
 
     def q(leaf):
         arr = np.asarray(leaf, np.float32)
@@ -218,6 +235,36 @@ def quantize_params_int8(params: dict) -> dict:
         )
         for k_ in ("wq", "wk", "wv", "bq", "bv"):
             a_dst.pop(k_, None)
+
+    if tile_bn:
+        from rten_tpu.kernels.matmul_pallas import pick_block
+        from rten_tpu.kernels.quant_matmul import (
+            mlp_fused_supported,
+            tile_gemv_pack,
+        )
+
+        def tile_divisor(pack):
+            if not (isinstance(pack, dict) and pack["q"].ndim == 2):
+                return pack
+            k_, n_ = pack["q"].shape
+            bn = pick_block(n_, tile_bn)
+            if bn >= n_ or n_ % bn:
+                return pack  # single stripe: whole-matrix DMA already linear
+            return tile_gemv_pack(pack, bn)
+
+        if isinstance(out.get("lm_head_q"), dict):
+            out["lm_head_q"] = tile_gemv_pack(out["lm_head_q"], tile_bn)
+        for dst in out["dec_layers"]:
+            a_dst = dst["self_attn"]
+            if "wqkv" in a_dst:
+                # divisor-only: q|k|v segment slicing reads fixed columns
+                a_dst["wqkv"] = tile_divisor(a_dst["wqkv"])
+            mlp = dst["mlp"]
+            if isinstance(mlp.get("w_up"), dict) and mlp["w_up"]["q"].ndim == 2:
+                d_, ff_ = mlp["w_up"]["q"].shape
+                if not mlp_fused_supported(d_, ff_):
+                    mlp["w_up"] = tile_divisor(mlp["w_up"])
+                    mlp["w_down"] = tile_divisor(mlp["w_down"])
     return out
 
 

@@ -306,3 +306,41 @@ def test_fused_decode_int8_kv():
     fused = run(True, True)
     rel = np.abs(fused - eager).max() / (np.abs(eager).max() + 1e-9)
     assert rel < 3e-2, rel
+
+
+def test_encdec_tiled_gemv_parity():
+    """tile_bn re-lays lm_head_q / fused wqkv as contiguous [S, K, bn]
+    stripes; fused and eager decode must match the row-major layout
+    bit-for-bit (same stripe math, linear storage)."""
+    cfg = ed.EncDecConfig(
+        n_mels=16, n_audio_ctx=32, vocab_size=512, d_model=256, n_heads=2,
+        n_audio_layers=1, n_text_layers=2, d_ff=512, max_text_ctx=32,
+        dtype=jnp.float32,
+    )
+    params = ed.init_params(jax.random.PRNGKey(0), cfg)
+    q0 = ed.quantize_params_int8(params, tile_bn=None)
+    qt = ed.quantize_params_int8(params, tile_bn=128)
+    assert qt["lm_head_q"]["q"].ndim == 3
+    assert qt["dec_layers"][0]["self_attn"]["wqkv"]["q"].ndim == 3
+    # small MLP rides the whole-matrix kernel: stays 2-D
+    assert qt["dec_layers"][0]["mlp"]["w_up"]["q"].ndim == 2
+
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, 16, 64)).astype(np.float32))
+    enc0 = ed.encode(q0, cfg, mel)
+    enct = ed.encode(qt, cfg, mel)
+    np.testing.assert_allclose(
+        np.asarray(enct), np.asarray(enc0), rtol=1e-5, atol=1e-5
+    )
+
+    ids = rng.integers(0, 512, (1, 4)).astype(np.int32)
+    for fuse in (False, True):
+        st0 = ed.init_decoder_state(q0, cfg, enc0)
+        stt = ed.init_decoder_state(qt, cfg, enct)
+        for i in range(ids.shape[1]):
+            tok = jnp.asarray(ids[:, i : i + 1])
+            lg0, st0 = ed.decode(q0, cfg, tok, st0, use_flash=False, fused=fuse)
+            lgt, stt = ed.decode(qt, cfg, tok, stt, use_flash=False, fused=fuse)
+            np.testing.assert_allclose(
+                np.asarray(lgt), np.asarray(lg0), rtol=1e-5, atol=1e-5,
+            ), (fuse, i)

@@ -801,7 +801,7 @@ def test_quant_matmul_tiled_layout_parity(rng):
 
 
 def test_quantize_params_tiled_lm_head_decode_parity(rng):
-    """quantize_params_int8(tile_lm_head_bn=...) must leave every decode
+    """quantize_params_int8(tile_bn=...) must leave every decode
     surface token-exact: logits path, fused-argmax path, and prefill."""
     from rten_tpu.models import decoder
 
@@ -809,8 +809,8 @@ def test_quantize_params_tiled_lm_head_decode_parity(rng):
         vocab_size=1000, n_layers=2, d_model=128, n_heads=2, max_seq=64
     )
     params = decoder.init_params(jax.random.PRNGKey(0), cfg)
-    qp = decoder.quantize_params_int8(params, tile_lm_head_bn=None)
-    qt = decoder.quantize_params_int8(params, tile_lm_head_bn=256)
+    qp = decoder.quantize_params_int8(params, tile_bn=None)
+    qt = decoder.quantize_params_int8(params, tile_bn=256)
     assert qt["lm_head_q"]["q"].ndim == 3
 
     prompt = jnp.asarray(np.arange(8, dtype=np.int32)[None])
@@ -825,5 +825,41 @@ def test_quantize_params_tiled_lm_head_decode_parity(rng):
     )
     t1, _ = decoder.generate_scan(
         qt, cfg, c1, prompt[:, -1:], jax.random.PRNGKey(1), n_steps=8
+    )
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+
+
+def test_quantize_params_tiled_llama_class_parity(rng):
+    """Llama-class (SwiGLU + GQA + RoPE): tiling covers wqkv, w_gu, and the
+    lm_head (big layers stream every projection via GEMV stripes); decode
+    must stay token-exact and prefill logits must match."""
+    from rten_tpu.models import decoder
+
+    cfg = decoder.DecoderConfig(
+        vocab_size=512, n_layers=2, d_model=256, n_heads=4, n_kv_heads=2,
+        d_ff=512, max_seq=64, pos_encoding="rope", norm="rmsnorm",
+        activation="swiglu", tie_embeddings=False,
+    )
+    params = decoder.init_params(jax.random.PRNGKey(0), cfg)
+    qp = decoder.quantize_params_int8(params, tile_bn=None)
+    qt = decoder.quantize_params_int8(params, tile_bn=128)
+    # tiling hit the SwiGLU gate|up pack and the qkv pack
+    assert qt["layers"][0]["w_gu"]["q"].ndim == 3
+    assert qt["layers"][0]["wqkv"]["q"].ndim == 3
+    # wo stays 2-D (fused-wo decode attention consumes it directly)
+    assert qt["layers"][0]["wo"]["q"].ndim == 2
+
+    prompt = jnp.asarray(np.arange(6, dtype=np.int32)[None])
+    c0 = decoder.init_cache(cfg, 1, 64)
+    l0, c0 = decoder.prefill(qp, cfg, prompt, c0)
+    c1 = decoder.init_cache(cfg, 1, 64)
+    l1, c1 = decoder.prefill(qt, cfg, prompt, c1)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0), rtol=1e-5, atol=1e-5)
+
+    t0, _ = decoder.generate_scan(
+        qp, cfg, c0, prompt[:, -1:], jax.random.PRNGKey(1), n_steps=6
+    )
+    t1, _ = decoder.generate_scan(
+        qt, cfg, c1, prompt[:, -1:], jax.random.PRNGKey(1), n_steps=6
     )
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
