@@ -42,7 +42,7 @@ PHASES = [
     ("census", 900),
     ("headline", 900),
     ("prefill", 700),
-    ("batchedab", 900),
+    ("batchedab", 1400),
     ("argmaxab", 500),
     ("gemvgeom", 900),
     ("whisper", 1500),
@@ -168,7 +168,7 @@ def batchedab():
     flag — the flag is snapshotted at module import)."""
     for flag in ("0", "1"):
         cmd = (
-            f"cd /root/repo && RTEN_BATCHED_ATTN={flag} timeout 400 python -c \""
+            f"cd /root/repo && RTEN_BATCHED_ATTN={flag} timeout 650 python -c \""
             "import jax, functools; import jax.numpy as jnp; import numpy as np;\n"
             "from rten_tpu.models import decoder;\n"
             "from rten_tpu.utils.bench import marginal_step_time;\n"
@@ -181,7 +181,7 @@ def batchedab():
             "    first = jnp.argmax(lg[:, -1:], -1).astype(jnp.int32)\n"
             "    toks, _ = decoder.generate_scan(qp, cfg, cache, first, jax.random.PRNGKey(1), n_steps=steps)\n"
             "    return toks\n"
-            "t = min(marginal_step_time(run, 64, 384, trials=5) for _ in range(2));\n"
+            "t = min(marginal_step_time(run, 64, 384, trials=4) for _ in range(2));\n"
             "print('batched', __import__('os').environ['RTEN_BATCHED_ATTN'], t*1e6, 'us/step ->', 8/t, 'tok/s aggregate')\"")
         _sh(cmd)
 
