@@ -316,6 +316,119 @@ def tiledab():
         print(f"{label}: {t*1e6:.1f} us/step  ({1.0/t:.0f} tok/s)", flush=True)
 
 
+def mlppipe():
+    """Whole-matrix MLP kernel (gridless: full up+down DMA exposed before
+    compute) vs a PIPELINED variant (grid over FF stripes: up-columns tiled
+    [S, D, bn] contiguous, down-rows [bn, D] naturally contiguous; Mosaic
+    double-buffers stripe j+1's DMA under stripe j's dots). If the stream
+    rate matches and latency drops, the pipelined kernel also removes the
+    8 MB VMEM cap (Llama-class MLPs run the same path)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from rten_tpu.kernels.quant_matmul import (
+        quant_mlp_int8,
+        quantize_weights_int8,
+        tile_gemv_weights,
+    )
+    from rten_tpu.utils.bench import marginal_step_time
+
+    d, ff, m = 768, 3072, 1
+    bn = 768
+    s_tiles = ff // bn
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((m, d)).astype(np.float32), jnp.bfloat16)
+
+    mats = []  # 4 distinct layer-weight sets ≈ 19 MB: forces real HBM streaming
+    for _ in range(4):
+        wu, su = quantize_weights_int8(rng.standard_normal((d, ff)).astype(np.float32))
+        wd, sd_ = quantize_weights_int8(rng.standard_normal((ff, d)).astype(np.float32))
+        mats.append(
+            (
+                jnp.asarray(wu), jnp.asarray(su).reshape(1, -1),
+                jnp.asarray(wd), jnp.asarray(sd_).reshape(1, -1),
+                tile_gemv_weights(wu, bn),
+            )
+        )
+
+    def rate(label, fn, bytes_per_step):
+        @functools.partial(jax.jit, static_argnums=0)
+        def chain(s, fn=fn):
+            return jax.lax.scan(lambda c, _: (fn(c), None), x0, None, length=s)[0]
+        try:
+            t = min(marginal_step_time(lambda s: chain(s), 64, 512, trials=5)
+                    for _ in range(2))
+            print(f"{label}: {t*1e6:7.2f} us/chain-step  ({bytes_per_step/t/1e9:6.1f} GB/s)",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{label}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
+
+    bytes_per = 4 * (d * ff * 2)  # 4 layer-sets, up+down int8
+
+    # --- control: whole-matrix fused MLP kernel --------------------------
+    def whole(c):
+        for wu, su, wd, sd_, _ in mats:
+            c = quant_mlp_int8(c, wu, su, wd, sd_, activation="gelu",
+                               out_dtype=jnp.bfloat16)
+        return c
+    rate("whole-matrix quant_mlp", whole, bytes_per)
+
+    # --- pipelined FF-stripe variant -------------------------------------
+    def pipe_kernel(x_ref, wu_ref, su_ref, wd_ref, sd_ref, o_ref, acc_ref):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _zero():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        x = x_ref[...].astype(jnp.bfloat16)
+        up = jnp.dot(x, wu_ref[0].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        from rten_tpu.kernels.quant_matmul import _ACTIVATIONS
+
+        up = up * su_ref[...].astype(jnp.float32)
+        up = _ACTIVATIONS["gelu"](up)
+        acc_ref[...] += jnp.dot(up.astype(jnp.bfloat16),
+                                wd_ref[...].astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+
+        @pl.when(j == pl.num_programs(0) - 1)
+        def _emit():
+            o_ref[...] = (acc_ref[...] * sd_ref[...].astype(jnp.float32)).astype(
+                o_ref.dtype
+            )
+
+    @jax.jit
+    def mlp_pipe(x, wut, su, wd, sd_):
+        return pl.pallas_call(
+            pipe_kernel,
+            grid=(s_tiles,),
+            in_specs=[
+                pl.BlockSpec((m, d), lambda j: (0, 0)),
+                pl.BlockSpec((1, d, bn), lambda j: (j, 0, 0)),
+                pl.BlockSpec((1, bn), lambda j: (0, j)),
+                pl.BlockSpec((bn, d), lambda j: (j, 0)),
+                pl.BlockSpec((1, d), lambda j: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((m, d), lambda j: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((m, d), jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((m, d), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        )(x, wut, su, wd, sd_)
+
+    def piped(c):
+        for wu, su, wd, sd_, wut in mats:
+            c = mlp_pipe(c, wut, su, wd, sd_)
+        return c
+    rate("pipelined FF-stripe mlp", piped, bytes_per)
+
+
 if __name__ == "__main__":
     sys.path.insert(0, "/root/repo")
     globals()[sys.argv[1]]()
