@@ -268,6 +268,33 @@ def engine():
         dt = _t.perf_counter() - t0
         print(f"engine b8 k{k_tick}: {toks/dt:.0f} tok/s wall ({dt:.2f}s, incl. tunnel launches)")
 
+    # Pipelined driver: tick t+1 dispatched from the device-side carry
+    # before tick t's tokens hit the host — launch latency overlaps the
+    # in-flight program instead of serializing.
+    for k_tick in (8, 32):
+        eng = ServingEngine(qp, cfg, max_batch=B, max_len=768, steps_per_tick=k_tick)
+        for _ in range(B):
+            eng.submit(
+                Request(prompt=list(rng.integers(0, 50000, 64)), max_new_tokens=700)
+            )
+        for _ in range(3):
+            eng.step()  # compile warm-up (same program the pipeline uses)
+        n_ticks = max(1, 160 // k_tick)
+        t0 = _t.perf_counter()
+        pending = None
+        carry = eng._sync_carry(None)
+        for _ in range(n_ticks):
+            pending_next, carry = eng._dispatch_tick(carry)
+            if pending is not None:
+                eng._process_tick(*pending)
+            pending = pending_next
+        eng._process_tick(*pending)
+        dt = _t.perf_counter() - t0
+        toks = B * k_tick * n_ticks
+        print(
+            f"engine-pipelined b8 k{k_tick}: {toks/dt:.0f} tok/s wall ({dt:.2f}s)"
+        )
+
 
 def tpover():
     """mesh-1x1 shard_map serving vs native serving on ONE chip: the

@@ -65,6 +65,15 @@ def _set_len(lens, slot, value):
     return lens.at[slot].set(value)
 
 
+@jax.jit
+def _carry_admit(tok, act, budget, adm_mask, adm_tok, adm_budget):
+    """Fold newly admitted slots into the device-side tick carry."""
+    tok = jnp.where(adm_mask[:, None], adm_tok[:, None], tok)
+    act = act | adm_mask
+    budget = jnp.where(adm_mask, adm_budget, budget)
+    return tok, act, budget
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _mask_lens(lens, active_mask):
     # Inactive slots' lengths are pinned to 0 so their (garbage) KV is fully
@@ -106,8 +115,11 @@ def _decode_k_steps(
     their sampled tokens are masked out of the host-side accounting via the
     emitted ``active`` trajectory.
 
-    Returns (tokens [n_steps, B], actives [n_steps, B], cache) where
-    ``actives[s, b]`` says token s of slot b is real output.
+    Returns (tokens [n_steps, B], actives [n_steps, B], cache, carry) where
+    ``actives[s, b]`` says token s of slot b is real output and ``carry`` =
+    (final_tok [B,1], final_active [B], budget_left [B]) — the device-side
+    tick state the pipelined driver feeds straight into the next tick
+    without a host round trip.
     """
 
     def fwd(tok, cache):
@@ -130,10 +142,11 @@ def _decode_k_steps(
 
     cache = dict(cache)
     cache["len"] = jnp.where(active, cache["len"], 0)
-    (cache, _, _, _), (toks, actives) = jax.lax.scan(
+    (cache, final_tok, _, final_act), (toks, actives) = jax.lax.scan(
         body, (cache, tokens, rng, active), jnp.arange(n_steps)
     )
-    return toks, actives, cache
+    budget_left = budget - jnp.sum(actives, axis=0, dtype=jnp.int32)
+    return toks, actives, cache, (final_tok, final_act, budget_left)
 
 
 class ServingEngine:
@@ -197,6 +210,7 @@ class ServingEngine:
         # _decode_k_steps' jit key, so a per-tick max would recompile when a
         # many-stop-token request is admitted AND again when it retires.
         self._eos_width = 4
+        self._last_admitted: list[int] = []
 
     # -- public API -----------------------------------------------------------
 
@@ -224,6 +238,34 @@ class ServingEngine:
         while self.has_work():
             done.extend(self.step())
         return done
+
+    def run_pipelined(self) -> list[Request]:
+        """Like ``run`` but the next tick is DISPATCHED before this tick's
+        tokens are pulled to the host: the device-side tick carry
+        (final token / active mask / remaining budget per slot, returned by
+        ``_decode_k_steps``) feeds straight into the next program, so the
+        per-tick dispatch + host round-trip latency (20µs-30ms through a
+        tunnel; µs on a co-located host) overlaps the in-flight device
+        program instead of serializing with it. Host bookkeeping
+        (``on_token`` streaming, retirement) runs one tick behind the
+        device; admission takes effect on the tick after the slot frees.
+        Token-exact vs ``run()``: EOS/budget stopping is decided on device
+        by the same masking either way."""
+        done: list[Request] = []
+        pending = None  # (toks_dev, actives_dev, k, slots snapshot)
+        carry = None  # (tok [B,1], active [B], budget [B]) device arrays
+        while True:
+            done.extend(self._admit())
+            carry = self._sync_carry(carry)
+            if self.n_active > 0:
+                pending_next, carry = self._dispatch_tick(carry)
+            else:
+                pending_next = None
+            if pending is not None:
+                done.extend(self._process_tick(*pending))
+            pending = pending_next
+            if pending is None and not self.has_work():
+                return done
 
     # -- engine step ------------------------------------------------------------
 
@@ -260,7 +302,7 @@ class ServingEngine:
             budget_np[slot] = req.max_new_tokens - len(req.output)
 
         self._rng, sub = jax.random.split(self._rng)
-        toks, actives, self.cache = _decode_k_steps(
+        toks, actives, self.cache, _carry = _decode_k_steps(
             self.params,
             self.cache,
             jnp.asarray(self._last_tokens[:, None]),
@@ -303,6 +345,7 @@ class ServingEngine:
 
     def _admit(self) -> list[Request]:
         finished: list[Request] = []
+        self._last_admitted = []
         while self.queue and self.n_active < self.max_batch:
             req = self.queue.popleft()
             slot = self.slots.index(None)
@@ -317,6 +360,98 @@ class ServingEngine:
                 )
             else:
                 self.slots[slot] = req
+                self._last_admitted.append(slot)
+        return finished
+
+    # -- pipelined ticking -------------------------------------------------------
+
+    def _sync_carry(self, carry):
+        """Device-side tick carry, folding host events in: ``None`` → built
+        fresh from host state; otherwise newly admitted slots are spliced in
+        (continuing slots' values live on device, one tick AHEAD of the host
+        bookkeeping — the host copies would be stale)."""
+        if self.n_active == 0 and not self._last_admitted:
+            return carry
+
+        def slot_budget(s):
+            return (s.max_new_tokens - len(s.output)) if s is not None else 0
+
+        if carry is None:
+            act = np.array([s is not None for s in self.slots], bool)
+            budget = np.array([slot_budget(s) for s in self.slots], np.int32)
+            return (
+                jnp.asarray(self._last_tokens[:, None]),
+                jnp.asarray(act),
+                jnp.asarray(budget),
+            )
+        if not self._last_admitted:
+            return carry
+        adm = np.zeros((self.max_batch,), bool)
+        adm[self._last_admitted] = True
+        budget = np.array([slot_budget(s) for s in self.slots], np.int32)
+        tok, act, bud = _carry_admit(
+            *carry,
+            jnp.asarray(adm),
+            jnp.asarray(self._last_tokens),
+            jnp.asarray(budget),
+        )
+        return (tok, act, bud)
+
+    def _dispatch_tick(self, carry):
+        """Launch one K-step decode program from the device-side carry;
+        returns ((toks, actives, k, slots snapshot), next carry) WITHOUT
+        forcing any host transfer."""
+        k = self.steps_per_tick
+        tok, act, budget = carry
+        self._eos_width = max(
+            [len(s.eos_tokens) for s in self.slots if s is not None]
+            + [self._eos_width]
+        )
+        eos_np = np.full((self.max_batch, self._eos_width), -1, np.int64)
+        for slot, req in enumerate(self.slots):
+            if req is not None:
+                eos_np[slot, : len(req.eos_tokens)] = req.eos_tokens
+        self._rng, sub = jax.random.split(self._rng)
+        toks, actives, self.cache, carry_out = _decode_k_steps(
+            self.params,
+            self.cache,
+            tok,
+            sub,
+            act,
+            jnp.asarray(eos_np.astype(np.int32)),
+            budget,
+            cfg=self.cfg,
+            n_steps=k,
+            sampler=self.sampler,
+            tp_mode=self.tp_mode,
+            mesh=self.mesh,
+        )
+        return (toks, actives, k, list(self.slots)), carry_out
+
+    def _process_tick(self, toks, actives, k, reqs) -> list[Request]:
+        """Host bookkeeping for a completed (or in-flight — np.asarray
+        blocks) tick: stream tokens, retire finished requests, free slots."""
+        toks = np.asarray(toks)
+        actives = np.asarray(actives)
+        self.steps += k
+        finished: list[Request] = []
+        for slot, req in enumerate(reqs):
+            if req is None or req.finished:
+                continue
+            for s in range(k):
+                if not actives[s, slot]:
+                    break
+                tok = int(toks[s, slot])
+                req.output.append(tok)
+                if req.on_token:
+                    req.on_token(tok)
+                self._last_tokens[slot] = tok
+                if tok in req.eos_tokens or len(req.output) >= req.max_new_tokens:
+                    req.finished = True
+                    finished.append(req)
+                    if self.slots[slot] is req:
+                        self.slots[slot] = None
+                    break
         return finished
 
     def _prefill_into_slot(self, req: Request, slot: int) -> None:

@@ -505,3 +505,57 @@ def test_engine_multi_step_tick_shard_map():
         eng.submit(Request(prompt=p, max_new_tokens=6))
     out = {tuple(r.prompt): r.output for r in eng.run()}
     assert out == ref_out
+
+
+def test_engine_pipelined_matches_sync():
+    """run_pipelined dispatches tick t+1 from the DEVICE-side carry before
+    pulling tick t's tokens to the host; with the deterministic ArgMax
+    sampler it must reproduce run()'s outputs exactly across continuous-
+    batching churn (queue > slots), mid-tick EOS, and budgets that aren't
+    tick multiples."""
+    import jax
+
+    cfg = decoder.DecoderConfig(
+        vocab_size=64, n_layers=2, n_heads=2, d_model=32, d_ff=64, max_seq=64
+    )
+    params = decoder.init_params(jax.random.PRNGKey(2), cfg)
+    prompts = [[1, 2, 3], [9, 8], [11, 12, 13, 14], [5], [21, 22]]
+
+    ref = ServingEngine(params, cfg, max_batch=2, seed=0, steps_per_tick=3)
+    for i, p in enumerate(prompts):
+        ref.submit(Request(prompt=p, max_new_tokens=4 + i))
+    ref_out = {tuple(r.prompt): r.output for r in ref.run()}
+
+    eng = ServingEngine(params, cfg, max_batch=2, seed=0, steps_per_tick=3)
+    for i, p in enumerate(prompts):
+        eng.submit(Request(prompt=p, max_new_tokens=4 + i))
+    done = eng.run_pipelined()
+    out = {tuple(r.prompt): r.output for r in done}
+    assert len(done) == len(prompts)
+    assert out == ref_out
+    assert all(s is None for s in eng.slots)
+
+    # mid-tick EOS through the pipelined path
+    target = prompts[0]
+    eos_tok = ref_out[tuple(target)][1]
+    ref2 = ServingEngine(params, cfg, max_batch=2, seed=0, steps_per_tick=4)
+    r_ref = ref2.submit(
+        Request(prompt=target, max_new_tokens=8, eos_tokens=(eos_tok,))
+    )
+    ref2.run()
+    eng2 = ServingEngine(params, cfg, max_batch=2, seed=0, steps_per_tick=4)
+    r_new = eng2.submit(
+        Request(prompt=target, max_new_tokens=8, eos_tokens=(eos_tok,))
+    )
+    eng2.run_pipelined()
+    assert r_new.output == r_ref.output
+    assert r_new.finished and r_new.output[-1] == eos_tok
+
+    # streaming callbacks fire for every token, in order
+    seen = []
+    eng3 = ServingEngine(params, cfg, max_batch=1, seed=0, steps_per_tick=3)
+    r3 = eng3.submit(
+        Request(prompt=target, max_new_tokens=7, on_token=seen.append)
+    )
+    eng3.run_pipelined()
+    assert seen == r3.output and len(seen) == 7
