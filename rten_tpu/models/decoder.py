@@ -34,14 +34,17 @@ from rten_tpu.kernels.attention import attention_reference, flash_attention
 from rten_tpu.kernels.quant_matmul import quantize_weights_int8
 
 # Contiguous-tiled GEMV weight storage (tile_gemv_weights): stripe DMAs
-# run linear (~830 GB/s) instead of K strided row reads (~570-600
-# measured). The lm_head is ~31% of the per-token weight stream on
-# GPT-2-small; on Llama-class models (layers too big for the whole-matrix
-# MLP kernel) nearly every projection streams via stripes and is eligible.
-# Snapshotted ONCE at import (jit-cache-key discipline, ADVICE r3).
+# run linear instead of K strided row reads. The lm_head is ~31% of the
+# per-token weight stream on GPT-2-small; on Llama-class models (layers too
+# big for the whole-matrix MLP kernel) nearly every projection streams via
+# stripes and is eligible. DEFAULT ON at bn=1024 on measured evidence
+# (r04 tiledab A/B, interleaved-min over a shared v5e): rowmajor 246.1
+# us/step vs tiled-1024 180.4 (0.985 of the streaming roofline); 2048/4096
+# tiles measured no better than rowmajor. RTEN_TILE_GEMV=0 disables;
+# snapshotted ONCE at import (jit-cache-key discipline, ADVICE r3).
 import os as _os
 
-_TILE_GEMV_BN: int | None = int(_os.environ.get("RTEN_TILE_GEMV", "0")) or None
+_TILE_GEMV_BN: int | None = int(_os.environ.get("RTEN_TILE_GEMV", "1024")) or None
 
 
 @dataclasses.dataclass(frozen=True)

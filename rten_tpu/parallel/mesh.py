@@ -80,9 +80,16 @@ def _vec_spec(leaf, axis: str | None) -> P:
 
 def _maybe_quant(leaf, dense_spec: P, scale_axis: str | None):
     """INT8-packed weights {"q","s"}: shard payload like the dense matrix and
-    scales along the output-channel axis."""
+    scales along the output-channel axis. Contiguous-tiled payloads
+    ([S, K, bn], quant_matmul.tile_gemv_weights) map the dense [K, N] spec
+    (k_ax, n_ax) onto (n_ax, k_ax, None): the leading tile axis IS the N
+    axis in bn-sized groups."""
     if isinstance(leaf, dict):
-        return {"q": dense_spec, "s": _vec_spec(leaf["s"], scale_axis)}
+        q_spec = dense_spec
+        if getattr(leaf["q"], "ndim", 2) == 3:
+            k_ax, n_ax = dense_spec
+            q_spec = P(n_ax, k_ax, None)
+        return {"q": q_spec, "s": _vec_spec(leaf["s"], scale_axis)}
     return dense_spec
 
 
