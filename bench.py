@@ -154,6 +154,49 @@ def child_main() -> None:
     jax.block_until_ready(run_once(0, n_long))
     warmup_s = time.perf_counter() - t0
 
+    # Provenance (VERDICT r4 #1a): record the ENGAGED weight layouts, the
+    # import-time flag snapshot, and which Pallas kernels the measured
+    # program actually traced, so every capture is auditable — a 244-vs-180
+    # discrepancy between an A/B and the headline must be diagnosable from
+    # the artifact alone.
+    def _provenance():
+        import re
+
+        from rten_tpu.kernels import decode_attention as _da
+        from rten_tpu.models import encoder_decoder as _ed
+
+        prov: dict = {
+            "lm_head_q_shape": list(params["lm_head_q"]["q"].shape),
+            "wqkv0_shape": list(params["layers"][0]["wqkv"]["q"].shape)
+            if isinstance(params["layers"][0].get("wqkv"), dict)
+            else None,
+            "flags": {
+                "RTEN_TILE_GEMV(env)": os.environ.get("RTEN_TILE_GEMV"),
+                "tile_gemv_bn(snapshot)": decoder._TILE_GEMV_BN,
+                "batched_attn(snapshot)": getattr(_da, "_BATCHED_ATTN_DEFAULT", None),
+                "decode_fuse(env)": os.environ.get("RTEN_DECODE_FUSE"),
+                "ed_fuse(snapshot)": getattr(_ed, "_ED_FUSE_DEFAULT", None),
+            },
+        }
+        try:
+            cache = decoder.init_cache(cfg, batch, cache_len)
+            logits, cache = decoder.prefill(params, cfg, prompt, cache)
+            first = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            txt = decoder.generate_scan.lower(
+                params, cfg, cache, first, jax.random.PRNGKey(0), n_steps=n_long
+            ).compile().as_text()
+            kernels = sorted(
+                set(re.findall(r'"kernel_name":\s*"([^"]+)"', txt))
+                | set(re.findall(r"kernel_name=([A-Za-z0-9_]+)", txt))
+            )
+            prov["pallas_kernels"] = kernels
+            prov["hlo_copies"] = len(re.findall(r"\n\s*\S+ = \S+? copy\(", txt))
+        except Exception as e:  # noqa: BLE001 — provenance must not kill the headline
+            prov["kernel_trace_error"] = f"{type(e).__name__}: {e}"
+        return prov
+
+    provenance = _provenance()
+
     # Headline: interleaved short/long pairs until ~55% of the budget is
     # spent (min 3, max 24 pairs). Spreading pairs over the window maximizes
     # the chance that BOTH phases catch an uncontended moment; the slope
@@ -233,19 +276,88 @@ def child_main() -> None:
     tflops = 2 * n**3 / min(plausible) / 1e12 if plausible else float("nan")
     tflops_ok = tflops == tflops  # not NaN
 
-    # Tertiary: Whisper-class encoder-decoder INT8-weights + INT8-KV decode
-    # (BASELINE config 4) — normalized against ITS HBM roofline: per decode
-    # step the chip must stream the decoder-side quantized weights, the
-    # cross-attention K/V (full n_audio_ctx, bf16), and the int8 self-KV
-    # prefix + scale tiles. Guarded: a tertiary-metric failure must never
-    # take down the headline line.
+    ed_ok = False
+    print(
+        json.dumps(
+            {
+                "metric": "tokens/sec/chip (GPT-2-small-class 124M, INT8 weights, batch 1 decode)",
+                "value": round(tok_s, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(tok_s / roofline_tok_s, 4),
+                "detail": {
+                    "mean_step_ms": round(step_s * 1e3, 3),
+                    "warmup_ms": round(warmup_s * 1e3, 1),
+                    "tokens": n_tokens,
+                    "wall_s": round(wall, 2),
+                    "pairs": len(t_shorts),
+                    # Contention audit: a wide long-run min/median spread
+                    # means the window was contended (judge can tell "slow
+                    # kernel" from "bad window" — VERDICT r3 weak #8).
+                    "long_min_ms": round(min(t_longs) * 1e3, 2),
+                    "long_median_ms": round(
+                        sorted(t_longs)[len(t_longs) // 2] * 1e3, 2
+                    ),
+                    "short_min_ms": round(min(t_shorts) * 1e3, 2),
+                    "short_median_ms": round(
+                        sorted(t_shorts)[len(t_shorts) // 2] * 1e3, 2
+                    ),
+                    "roofline_tok_s": round(roofline_tok_s, 1),
+                    "weight_mbytes": round(weight_bytes / 1e6, 1),
+                    "prefill_dequant_matmul_tflops": round(tflops, 1) if tflops_ok else None,
+                    "prefill_vs_mxu_peak": round(tflops / MXU_TFLOPS, 4) if tflops_ok else None,
+                    "provenance": provenance,
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+def whisper_child_main() -> None:
+    """Whisper-class encoder-decoder INT8-weights + INT8-KV decode (BASELINE
+    config 4) — normalized against ITS HBM roofline: per decode step the chip
+    must stream the decoder-side quantized weights, the cross-attention K/V
+    (full n_audio_ctx, bf16), and the int8 self-KV prefix + scale tiles.
+
+    OWN SUBPROCESS + OWN BUDGET (VERDICT r4 #4): in r01-r04 this ran as a
+    tail metric inside the headline child and starved behind it four rounds
+    running ("whisper_error: budget exhausted"). Prints ONE JSON line with
+    whisper_* fields that the parent merges into the headline detail."""
+    import jax
+    import jax.numpy as jnp
+
+    import threading
+
+    init_done = threading.Event()
+    watchdog_s = float(os.environ.get("RTEN_BENCH_INIT_TIMEOUT_S", "180"))
+
+    def _watchdog():
+        if not init_done.wait(watchdog_s):
+            print(
+                json.dumps(
+                    {"whisper_error": f"device init exceeded {watchdog_s:.0f}s"}
+                ),
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    jax.devices()
+    init_done.set()
+
+    budget_s = float(os.environ.get("RTEN_BENCH_WHISPER_BUDGET_S", "300"))
+    bench_t0 = time.perf_counter()
+
+    def left():
+        return budget_s - (time.perf_counter() - bench_t0)
+
+    rng2 = np.random.default_rng(1)
     ed_step = float("nan")
     ed_roofline_ms = float("nan")
     ed_error = None
     try:
-        if left() < 0.1 * budget_s:
-            raise TimeoutError("budget exhausted; skipping tertiary metric")
         from rten_tpu.models import encoder_decoder as ed
+        from rten_tpu.utils.bench import marginal_step_time
 
         ecfg = ed.EncDecConfig(int8_kv=True)
         eparams = ed.quantize_params_int8(ed.init_params(jax.random.PRNGKey(2), ecfg))
@@ -329,43 +441,17 @@ def child_main() -> None:
     print(
         json.dumps(
             {
-                "metric": "tokens/sec/chip (GPT-2-small-class 124M, INT8 weights, batch 1 decode)",
-                "value": round(tok_s, 2),
-                "unit": "tokens/s",
-                "vs_baseline": round(tok_s / roofline_tok_s, 4),
-                "detail": {
-                    "mean_step_ms": round(step_s * 1e3, 3),
-                    "warmup_ms": round(warmup_s * 1e3, 1),
-                    "tokens": n_tokens,
-                    "wall_s": round(wall, 2),
-                    "pairs": len(t_shorts),
-                    # Contention audit: a wide long-run min/median spread
-                    # means the window was contended (judge can tell "slow
-                    # kernel" from "bad window" — VERDICT r3 weak #8).
-                    "long_min_ms": round(min(t_longs) * 1e3, 2),
-                    "long_median_ms": round(
-                        sorted(t_longs)[len(t_longs) // 2] * 1e3, 2
-                    ),
-                    "short_min_ms": round(min(t_shorts) * 1e3, 2),
-                    "short_median_ms": round(
-                        sorted(t_shorts)[len(t_shorts) // 2] * 1e3, 2
-                    ),
-                    "roofline_tok_s": round(roofline_tok_s, 1),
-                    "weight_mbytes": round(weight_bytes / 1e6, 1),
-                    "prefill_dequant_matmul_tflops": round(tflops, 1) if tflops_ok else None,
-                    "prefill_vs_mxu_peak": round(tflops / MXU_TFLOPS, 4) if tflops_ok else None,
-                    "whisper_int8kv_decode_ms": round(ed_step * 1e3, 4) if ed_ok else None,
-                    "whisper_roofline_ms": round(ed_roofline_ms, 4)
-                    if ed_roofline_ms == ed_roofline_ms
-                    else None,
-                    "whisper_vs_roofline": round(ed_roofline_ms / 1e3 / ed_step, 4)
-                    if ed_ok and ed_roofline_ms == ed_roofline_ms
-                    else None,
-                    "whisper_error": None if ed_ok else ed_error,
-                    "backend": jax.default_backend(),
-                },
+                "whisper_int8kv_decode_ms": round(ed_step * 1e3, 4) if ed_ok else None,
+                "whisper_roofline_ms": round(ed_roofline_ms, 4)
+                if ed_roofline_ms == ed_roofline_ms
+                else None,
+                "whisper_vs_roofline": round(ed_roofline_ms / 1e3 / ed_step, 4)
+                if ed_ok and ed_roofline_ms == ed_roofline_ms
+                else None,
+                "whisper_error": None if ed_ok else ed_error,
             }
-        )
+        ),
+        flush=True,
     )
 
 
@@ -388,6 +474,37 @@ def write_stale(record: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(record, f)
     os.replace(tmp, STALE_PATH)
+
+
+def _run_whisper_child() -> dict:
+    """Run the whisper tertiary metric in its own subprocess with its own
+    budget (VERDICT r4 #4) and return the whisper_* fields to merge into the
+    headline detail. Never raises — a whisper failure degrades to an error
+    field, not a lost headline."""
+    init_s = float(os.environ.get("RTEN_BENCH_INIT_TIMEOUT_S", "180"))
+    budget_s = float(os.environ.get("RTEN_BENCH_WHISPER_BUDGET_S", "300"))
+    env = dict(os.environ, RTEN_BENCH_CHILD="1", RTEN_BENCH_PHASE="whisper")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True,
+            text=True,
+            timeout=init_s + budget_s + 120,
+            env=env,
+        )
+        for cand in reversed(proc.stdout.strip().splitlines()):
+            try:
+                rec = json.loads(cand)
+                if isinstance(rec, dict) and any(k.startswith("whisper") for k in rec):
+                    return rec
+            except ValueError:
+                continue
+        return {
+            "whisper_error": f"whisper child rc {proc.returncode}, no JSON line "
+            f"(stderr tail: {proc.stderr.strip()[-200:]!r})"
+        }
+    except subprocess.TimeoutExpired:
+        return {"whisper_error": "whisper child hard-timeout"}
 
 
 def parent_main() -> None:
@@ -428,6 +545,7 @@ def parent_main() -> None:
             except ValueError:
                 continue
         if line is not None and line.get("value", 0) > 0:
+            line.setdefault("detail", {}).update(_run_whisper_child())
             write_stale(line)
             print(json.dumps(line), flush=True)
             return
@@ -473,7 +591,10 @@ def parent_main() -> None:
 
 def main() -> None:
     if os.environ.get("RTEN_BENCH_CHILD") == "1":
-        child_main()
+        if os.environ.get("RTEN_BENCH_PHASE") == "whisper":
+            whisper_child_main()
+        else:
+            child_main()
     else:
         parent_main()
 

@@ -44,7 +44,37 @@ from rten_tpu.kernels.quant_matmul import quantize_weights_int8
 # snapshotted ONCE at import (jit-cache-key discipline, ADVICE r3).
 import os as _os
 
-_TILE_GEMV_BN: int | None = int(_os.environ.get("RTEN_TILE_GEMV", "1024")) or None
+
+def _parse_tile_gemv(raw: str) -> int | None:
+    """Defensive parse (ADVICE r4): non-integer values warn and fall back to
+    the default; 0/negative disables; non-multiples of 128 round down (the
+    GEMV stripe width must be lane-aligned or Mosaic rejects the DMA)."""
+    try:
+        v = int(raw)
+    except ValueError:
+        import warnings
+
+        warnings.warn(
+            f"RTEN_TILE_GEMV={raw!r} is not an integer; using default 1024 "
+            "(set 0 to disable tiling)",
+            stacklevel=2,
+        )
+        return 1024
+    if v <= 0:
+        return None
+    if v % 128:
+        import warnings
+
+        rounded = max(128, v // 128 * 128)
+        warnings.warn(
+            f"RTEN_TILE_GEMV={v} is not a multiple of 128; rounding to {rounded}",
+            stacklevel=2,
+        )
+        v = rounded
+    return v
+
+
+_TILE_GEMV_BN: int | None = _parse_tile_gemv(_os.environ.get("RTEN_TILE_GEMV", "1024"))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -285,7 +315,14 @@ def _tile_gemv_packs(out: dict, tile_bn: int) -> None:
         return tile_gemv_pack(pack, bn)
 
     head_key = "lm_head_q" if "lm_head_q" in out else "lm_head"
-    if isinstance(out.get(head_key), dict) and out[head_key]["q"].ndim == 2:
+    if (
+        isinstance(out.get(head_key), dict)
+        and out[head_key]["q"].ndim == 2
+        # Single-stripe packs (vocab ≤ tile_bn) gain no DMA linearity and
+        # would stream pure zero-pad bytes — mirror tile_divisor's early-out
+        # (ADVICE r4). They are also unshardable along the model axis (S=1).
+        and out[head_key]["q"].shape[1] > tile_bn
+    ):
         out[head_key] = tile_gemv_pack(out[head_key], tile_bn)
 
     for li, layer in enumerate(out.get("layers", [])):

@@ -31,16 +31,23 @@ def make_mesh(data: int = 1, model: int = 1, devices=None) -> Mesh:
     return Mesh(arr, axis_names=("data", "model"))
 
 
-def decoder_param_specs(params: dict) -> dict:
-    """PartitionSpec pytree matching rten_tpu.models.decoder params."""
+def decoder_param_specs(params: dict, mesh: Mesh | None = None) -> dict:
+    """PartitionSpec pytree matching rten_tpu.models.decoder params.
+
+    Pass ``mesh`` to get divisibility-safe specs for contiguous-tiled int8
+    packs (see _maybe_quant) — without it, 3-D packs assume the stripe axis
+    divides the model axis."""
+
+    def _mq(leaf, dense_spec, scale_axis):
+        return _maybe_quant(leaf, dense_spec, scale_axis, mesh)
 
     def layer_spec(layer: dict) -> dict:
         spec = {}
         for name in layer:
             if name in ("wq", "wk", "wv", "w_up", "w_gate"):
-                spec[name] = _maybe_quant(layer[name], P(None, "model"), "model")
+                spec[name] = _mq(layer[name], P(None, "model"), "model")
             elif name in ("wo", "w_down"):
-                spec[name] = _maybe_quant(layer[name], P("model", None), None)
+                spec[name] = _mq(layer[name], P("model", None), None)
             elif name in ("bq", "bk", "bv", "b_up"):
                 spec[name] = _vec_spec(layer[name], "model")
             elif name in ("bo", "b_down"):
@@ -52,7 +59,7 @@ def decoder_param_specs(params: dict) -> dict:
         return spec
 
     spec: dict = {
-        "tok_emb": _maybe_quant(params["tok_emb"], P("model", None), None),
+        "tok_emb": _mq(params["tok_emb"], P("model", None), None),
         "final_norm": jax.tree.map(
             lambda leaf: _vec_spec(leaf, None), params["final_norm"]
         ),
@@ -61,11 +68,9 @@ def decoder_param_specs(params: dict) -> dict:
     if "pos_emb" in params:
         spec["pos_emb"] = P(None, None)
     if "lm_head" in params:
-        spec["lm_head"] = _maybe_quant(params["lm_head"], P(None, "model"), "model")
+        spec["lm_head"] = _mq(params["lm_head"], P(None, "model"), "model")
     if "lm_head_q" in params:
-        spec["lm_head_q"] = _maybe_quant(
-            params["lm_head_q"], P(None, "model"), "model"
-        )
+        spec["lm_head_q"] = _mq(params["lm_head_q"], P(None, "model"), "model")
     return spec
 
 
@@ -78,17 +83,29 @@ def _vec_spec(leaf, axis: str | None) -> P:
     return P(axis)
 
 
-def _maybe_quant(leaf, dense_spec: P, scale_axis: str | None):
+def _maybe_quant(leaf, dense_spec: P, scale_axis: str | None, mesh: Mesh | None = None):
     """INT8-packed weights {"q","s"}: shard payload like the dense matrix and
     scales along the output-channel axis. Contiguous-tiled payloads
     ([S, K, bn], quant_matmul.tile_gemv_weights) map the dense [K, N] spec
     (k_ax, n_ax) onto (n_ax, k_ax, None): the leading tile axis IS the N
-    axis in bn-sized groups."""
+    axis in bn-sized groups. S = ceil(N/bn) is often NOT divisible by the
+    mesh axis (GPT-2 lm_head: S=50; vocab ≤ bn: S=1), so with ``mesh`` the
+    spec degrades gracefully: stripe axis when divisible, else the bn axis
+    (interleaved-column ownership — still correct under GSPMD, which
+    resolves layouts with collectives), else replicated."""
     if isinstance(leaf, dict):
         q_spec = dense_spec
-        if getattr(leaf["q"], "ndim", 2) == 3:
+        q = leaf["q"]
+        if getattr(q, "ndim", 2) == 3:
             k_ax, n_ax = dense_spec
             q_spec = P(n_ax, k_ax, None)
+            if mesh is not None and n_ax is not None:
+                ax_size = mesh.shape[n_ax]
+                if q.shape[0] % ax_size:
+                    if q.shape[2] % ax_size == 0:
+                        q_spec = P(None, k_ax, n_ax)
+                    else:
+                        q_spec = P(None, k_ax, None)
         return {"q": q_spec, "s": _vec_spec(leaf["s"], scale_axis)}
     return dense_spec
 
@@ -112,7 +129,7 @@ def cache_specs(cache: dict | None = None) -> dict:
 
 
 def shard_decoder_params(params: dict, mesh: Mesh) -> dict:
-    specs = decoder_param_specs(params)
+    specs = decoder_param_specs(params, mesh)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params,

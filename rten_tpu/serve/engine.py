@@ -249,8 +249,12 @@ class ServingEngine:
         program instead of serializing with it. Host bookkeeping
         (``on_token`` streaming, retirement) runs one tick behind the
         device; admission takes effect on the tick after the slot frees.
-        Token-exact vs ``run()``: EOS/budget stopping is decided on device
-        by the same masking either way."""
+        Token-exact vs ``run()`` for DETERMINISTIC samplers (the ArgMax
+        default): EOS/budget stopping is decided on device by the same
+        masking either way. With a stochastic sampler the RNG split
+        SEQUENCE differs (all-inactive ticks and one-tick-late admission
+        each consume splits), so outputs can diverge in distribution-
+        preserving ways; stopping semantics are unchanged (ADVICE r4)."""
         done: list[Request] = []
         pending = None  # (toks_dev, actives_dev, k, slots snapshot)
         carry = None  # (tok [B,1], active [B], budget [B]) device arrays

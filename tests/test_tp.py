@@ -195,3 +195,71 @@ def test_pp_forward_gpt2_layout(rng):
     mesh = Mesh(np.array(jax.devices()[:2]), ("pipe",))
     got = pp_forward(stacked, cfg, prompt, mesh=mesh, n_microbatches=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_quantized_tiled_params_shard_on_mesh(rng):
+    """ADVICE r4 (medium): tiled int8 packs ([S, K, bn]) must survive
+    shard_decoder_params when the stripe count S is NOT divisible by the
+    model axis — the spec falls back to bn-axis sharding (or replication)
+    instead of raising, and the pjit forward still matches unsharded."""
+    cfg = decoder.DecoderConfig(
+        vocab_size=640,
+        n_layers=1,
+        n_heads=2,
+        d_model=128,
+        d_ff=256,
+        max_seq=32,
+        dtype=jnp.float32,
+    )
+    params = decoder.init_params(jax.random.PRNGKey(11), cfg)
+    qp = decoder.quantize_params_int8(params, tile_bn=128)
+    assert qp["lm_head_q"]["q"].shape == (5, 128, 128)  # S=5: odd stripe count
+
+    prompt = jnp.asarray(rng.integers(0, 640, (2, 6)).astype(np.int32))
+    ref, _ = decoder.forward(qp, cfg, prompt, None, use_flash=False)
+
+    for mesh_shape in [(1, 2), (1, 4), (2, 2)]:
+        mesh = make_mesh(*mesh_shape)  # 5 % model_axis != 0 for all of these
+        sp = shard_decoder_params(qp, mesh)  # previously raised here
+        got = jax.jit(
+            lambda p, t: decoder.forward(p, cfg, t, None, use_flash=False)[0]
+        )(sp, prompt)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_lm_head_single_stripe_not_tiled():
+    """ADVICE r4 (low): vocab ≤ tile_bn yields a single stripe — tiling is
+    skipped (no zero-pad streaming, keeps the pack 2-D and shardable)."""
+    cfg = decoder.DecoderConfig(
+        vocab_size=640,
+        n_layers=1,
+        n_heads=2,
+        d_model=128,
+        d_ff=256,
+        max_seq=32,
+        dtype=jnp.float32,
+    )
+    params = decoder.init_params(jax.random.PRNGKey(12), cfg)
+    qp = decoder.quantize_params_int8(params, tile_bn=1024)
+    assert qp["lm_head_q"]["q"].ndim == 2
+
+
+def test_tile_gemv_env_parse_defensive():
+    """ADVICE r4 (low): RTEN_TILE_GEMV parses defensively."""
+    import warnings
+
+    from rten_tpu.models.decoder import _parse_tile_gemv
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert _parse_tile_gemv("1024") == 1024
+        assert _parse_tile_gemv("0") is None
+        assert _parse_tile_gemv("-3") is None
+    with pytest.warns(UserWarning, match="not an integer"):
+        assert _parse_tile_gemv("off") == 1024
+    with pytest.warns(UserWarning, match="multiple of 128"):
+        assert _parse_tile_gemv("300") == 256
+    with pytest.warns(UserWarning, match="multiple of 128"):
+        assert _parse_tile_gemv("64") == 128
