@@ -74,5 +74,401 @@ def reconcile():
         )
 
 
+
+def lmheadab():
+    """lm_head GEMV stream rate across LAYOUT (row-major vs contiguous-tiled)
+    x GEOMETRY (whole-K bn=1024/4096; K-blocked [256, 4096] — the pure-DMA
+    sweet spot per CLAUDE.md). One 39 MB matrix per variant (> VMEM, forces
+    real HBM streaming), all variants interleaved per rep."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rten_tpu.kernels.quant_matmul import (
+        quant_gemv_int8,
+        quantize_weights_int8,
+        tile_gemv_weights,
+    )
+    from rten_tpu.utils.bench import marginal_step_time
+
+    k, n = 768, 51200
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((1, k)).astype(np.float32), jnp.bfloat16)
+    qw, qs = quantize_weights_int8(rng.standard_normal((k, n)).astype(np.float32))
+    qd, sd = jnp.asarray(qw), jnp.asarray(qs)
+    t1024 = tile_gemv_weights(qd, 1024)
+    t4096 = tile_gemv_weights(qd, 4096)
+
+    variants = {
+        "row-bn1024": (qd, dict(block_n=1024)),
+        "row-bn4096": (qd, dict(block_n=4096)),
+        "tile-1024": (t1024, {}),
+        "tile-4096": (t4096, {}),
+        "row-bn4096-kb256": (qd, dict(block_n=4096, block_k=256)),
+        "tile-4096-kb256": (t4096, dict(block_k=256)),
+    }
+
+    def mk(w, kw):
+        def fn(c):
+            return quant_gemv_int8(c, w, sd, **kw)[:, :k].astype(jnp.bfloat16)
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def chain(s):
+            return jax.lax.scan(lambda c, _: (fn(c), None), x0, None, length=s)[0]
+
+        return chain
+
+    chains = {lab: mk(w, kw) for lab, (w, kw) in variants.items()}
+    results = {lab: [] for lab in variants}
+    for rep in range(3):
+        for lab, chain in chains.items():
+            try:
+                results[lab].append(
+                    marginal_step_time(lambda s: chain(s), 32, 256, trials=4)
+                )
+            except Exception as e:  # noqa: BLE001
+                results[lab].append(None)
+                print(f"{lab}: FAILED {type(e).__name__}: {str(e)[:160]}", flush=True)
+        print(f"rep {rep} done", flush=True)
+    for lab, ts in results.items():
+        ok = [t for t in ts if t]
+        if not ok:
+            continue
+        t = min(ok)
+        print(
+            f"{lab:18s}: {t * 1e6:6.1f} us  ({k * n / t / 1e9:6.1f} GB/s)  "
+            f"reps={[round(x * 1e6, 1) if x else None for x in ts]}",
+            flush=True,
+        )
+
+
+def steplayout():
+    """Decisive full-step layout A/B: tiled-1024 (r04 default-ON) vs
+    row-major, bench.py's exact harness, with pairs TIGHTLY interleaved
+    across variants within every rep (10 reps spread over the window) so
+    chip weather cannot fake a 27% difference between the arms."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rten_tpu.models import decoder
+
+    cfg = decoder.DecoderConfig(dtype=jnp.bfloat16, max_seq=1024)
+    params = decoder.init_params(jax.random.PRNGKey(0), cfg)
+    from rten_tpu.kernels.quant_matmul import tile_gemv_pack
+
+    lmonly = decoder.quantize_params_int8(params, tile_bn=None)
+    lmonly["lm_head_q"] = tile_gemv_pack(lmonly["lm_head_q"], 1024)
+    packs = {
+        "tiled1024": decoder.quantize_params_int8(params, tile_bn=1024),
+        "tiledlm": lmonly,  # ONLY the lm_head tiled (layer-0 wqkv row-major)
+        "rowmajor": decoder.quantize_params_int8(params, tile_bn=None),
+    }
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 64)).astype(np.int32))
+    n_short, n_long = 64, 512
+
+    def run_for(qp):
+        def run(steps):
+            cache = decoder.init_cache(cfg, 1, 768)
+            logits, cache = decoder.prefill(qp, cfg, prompt, cache)
+            first = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            toks, _ = decoder.generate_scan(
+                qp, cfg, cache, first, jax.random.PRNGKey(1), n_steps=steps
+            )
+            return toks
+
+        return run
+
+    runs = {lab: run_for(qp) for lab, qp in packs.items()}
+    for run in runs.values():  # compile both lengths for both variants first
+        jax.block_until_ready(run(n_short))
+        jax.block_until_ready(run(n_long))
+
+    shorts = {lab: [] for lab in runs}
+    longs = {lab: [] for lab in runs}
+    for rep in range(10):
+        for lab, run in runs.items():
+            t0 = _t.perf_counter()
+            jax.block_until_ready(run(n_short))
+            t1 = _t.perf_counter()
+            jax.block_until_ready(run(n_long))
+            t2 = _t.perf_counter()
+            shorts[lab].append(t1 - t0)
+            longs[lab].append(t2 - t1)
+        if rep % 3 == 2:
+            print(f"rep {rep} done", flush=True)
+        _t.sleep(2.0)  # spread the reps over the window
+    for lab in runs:
+        step = (min(longs[lab]) - min(shorts[lab])) / (n_long - n_short)
+        print(
+            f"{lab:10s}: {step * 1e6:6.1f} us/step ({1 / step:6.0f} tok/s)  "
+            f"short_min={min(shorts[lab]) * 1e3:.1f}ms "
+            f"long_min={min(longs[lab]) * 1e3:.1f}ms "
+            f"long_med={sorted(longs[lab])[len(longs[lab]) // 2] * 1e3:.1f}ms",
+            flush=True,
+        )
+
+
+def mlppipe2():
+    """mlppipe redone with a working set that CANNOT be cached: r04's 4
+    layer-sets (19 MB) read 995 GB/s — above the 810 GB/s HBM ceiling, so
+    weights were VMEM/cache-resident and the A/B lied. 12 distinct sets
+    (57 MB) force real streaming. Also adds a gridless+next_qkv arm
+    (production shape: up+down+next-qkv = 6.5 MB/layer)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from rten_tpu.kernels.quant_matmul import (
+        _ACTIVATIONS,
+        quant_mlp_int8,
+        quantize_weights_int8,
+        tile_gemv_weights,
+    )
+    from rten_tpu.utils.bench import marginal_step_time
+
+    d, ff, m = 768, 3072, 1
+    bn = 768
+    s_tiles = ff // bn
+    n_sets = 12
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((m, d)).astype(np.float32), jnp.bfloat16)
+
+    mats = []
+    for _ in range(n_sets):
+        wu, su = quantize_weights_int8(rng.standard_normal((d, ff)).astype(np.float32))
+        wd, sd_ = quantize_weights_int8(rng.standard_normal((ff, d)).astype(np.float32))
+        mats.append(
+            (
+                jnp.asarray(wu), jnp.asarray(su).reshape(1, -1),
+                jnp.asarray(wd), jnp.asarray(sd_).reshape(1, -1),
+                tile_gemv_weights(wu, bn),
+            )
+        )
+
+    def rate(label, fn, bytes_per_step):
+        @functools.partial(jax.jit, static_argnums=0)
+        def chain(s, fn=fn):
+            return jax.lax.scan(lambda c, _: (fn(c), None), x0, None, length=s)[0]
+        try:
+            t = min(marginal_step_time(lambda s: chain(s), 24, 192, trials=4)
+                    for _ in range(2))
+            print(
+                f"{label}: {t / n_sets * 1e6:7.2f} us/layer  "
+                f"({bytes_per_step / t / 1e9:6.1f} GB/s)",
+                flush=True,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"{label}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
+
+    bytes_per = n_sets * (d * ff * 2)
+
+    def whole(c):
+        for wu, su, wd, sd_, _ in mats:
+            c = quant_mlp_int8(c, wu, su, wd, sd_, activation="gelu",
+                               out_dtype=jnp.bfloat16)
+        return c
+    rate("gridless quant_mlp   ", whole, bytes_per)
+
+    def pipe_kernel(x_ref, wu_ref, su_ref, wd_ref, sd_ref, o_ref, acc_ref):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _zero():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        x = x_ref[...].astype(jnp.bfloat16)
+        up = jnp.dot(x, wu_ref[0].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        up = up * su_ref[...].astype(jnp.float32)
+        up = _ACTIVATIONS["gelu"](up)
+        acc_ref[...] += jnp.dot(up.astype(jnp.bfloat16),
+                                wd_ref[...].astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+
+        @pl.when(j == pl.num_programs(0) - 1)
+        def _emit():
+            o_ref[...] = (acc_ref[...] * sd_ref[...].astype(jnp.float32)).astype(
+                o_ref.dtype
+            )
+
+    @jax.jit
+    def mlp_pipe(x, wut, su, wd, sd_):
+        return pl.pallas_call(
+            pipe_kernel,
+            grid=(s_tiles,),
+            in_specs=[
+                pl.BlockSpec((m, d), lambda j: (0, 0)),
+                pl.BlockSpec((1, d, bn), lambda j: (j, 0, 0)),
+                pl.BlockSpec((1, bn), lambda j: (0, j)),
+                pl.BlockSpec((bn, d), lambda j: (j, 0)),
+                pl.BlockSpec((1, d), lambda j: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((m, d), lambda j: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((m, d), jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((m, d), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        )(x, wut, su, wd, sd_)
+
+    def piped(c):
+        for wu, su, wd, sd_, wut in mats:
+            c = mlp_pipe(c, wut, su, wd, sd_)
+        return c
+    rate("pipelined FF-stripe  ", piped, bytes_per)
+
+
+def tiledcensus():
+    """HLO census of the compiled generate_scan for tiled vs row-major
+    params: if the tiled layout induces a per-step copy/relayout inside the
+    scan body (rather than a hoisted one), it shows up here."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rten_tpu.models import decoder
+
+    cfg = decoder.DecoderConfig(dtype=jnp.bfloat16, max_seq=1024)
+    params = decoder.init_params(jax.random.PRNGKey(0), cfg)
+    for label, bn in (("tiled1024", 1024), ("rowmajor", None)):
+        qp = decoder.quantize_params_int8(params, tile_bn=bn)
+        cache = decoder.init_cache(cfg, 1, 768)
+        tok = jnp.asarray([[1]], jnp.int32)
+
+        def fn(cache, tok, rng):
+            return decoder.generate_scan(qp, cfg, cache, tok, rng, n_steps=64)
+
+        txt = (
+            jax.jit(fn, donate_argnums=(0,))
+            .lower(cache, tok, jax.random.PRNGKey(0))
+            .compile()
+            .as_text()
+        )
+        copies = re.findall(r"\n\s*\S+ = (\S+?) copy\(", txt)
+        fus = len(re.findall(r"\n\s*\S+ = \S+ fusion\(", txt))
+        cc = len(re.findall(r"custom-call", txt))
+        print(f"{label}: copies={len(copies)} fusions={fus} custom-calls={cc}",
+              flush=True)
+        for c in copies:
+            print("   copy", c, flush=True)
+
+
+def layerslope():
+    """Decompose the decode step: time generate_scan at n_layers ∈ {2, 12}
+    (same lm_head/vocab/cache) — the slope is the TRUE per-layer cost
+    (MLP kernel + attention kernel + XLA glue), the intercept is
+    embed + lm_head + sampling + scan overhead. Compared against the
+    measured kernel floors (MLP 7.9 µs w/ next_qkv, lm_head 44.3 µs tiled)
+    this localizes the remaining roofline gap."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rten_tpu.models import decoder
+    from rten_tpu.utils.bench import marginal_step_time
+
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, 50257, (1, 64)).astype(np.int32))
+
+    results = {}
+    cfgs = {
+        n: decoder.DecoderConfig(n_layers=n, dtype=jnp.bfloat16, max_seq=1024)
+        for n in (2, 12)
+    }
+    packs = {
+        n: decoder.quantize_params_int8(
+            decoder.init_params(jax.random.PRNGKey(0), cfg)
+        )
+        for n, cfg in cfgs.items()
+    }
+
+    def run_for(n):
+        cfg, qp = cfgs[n], packs[n]
+
+        def run(steps):
+            cache = decoder.init_cache(cfg, 1, 768)
+            logits, cache = decoder.prefill(qp, cfg, prompt, cache)
+            first = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            toks, _ = decoder.generate_scan(
+                qp, cfg, cache, first, jax.random.PRNGKey(1), n_steps=steps
+            )
+            return toks
+
+        return run
+
+    runs = {n: run_for(n) for n in cfgs}
+    res = {n: [] for n in cfgs}
+    for rep in range(4):
+        for n, run in runs.items():
+            res[n].append(marginal_step_time(run, 64, 512, trials=3))
+    t = {n: min(v) for n, v in res.items()}
+    per_layer = (t[12] - t[2]) / 10
+    intercept = t[2] - 2 * per_layer
+    for n in t:
+        print(f"n_layers={n}: {t[n] * 1e6:6.1f} us/step", flush=True)
+    print(
+        f"per-layer {per_layer * 1e6:.2f} us (MLP-kernel floor ~7.9; attention+glue = rest)\n"
+        f"intercept {intercept * 1e6:.2f} us (embed + lm_head [44.3 floor] + sampling + scan)",
+        flush=True,
+    )
+
+
+def bodyops():
+    """Op census of the compiled generate_scan WHILE BODY: what runs per
+    decode step besides the Pallas kernels (fusions, converts, dus, gathers)
+    — the intercept decomposition said ~22 us/step of non-lm_head overhead
+    lives here (layerslope)."""
+    import re
+    from collections import Counter
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rten_tpu.models import decoder
+
+    cfg = decoder.DecoderConfig(dtype=jnp.bfloat16, max_seq=1024)
+    qp = decoder.quantize_params_int8(decoder.init_params(jax.random.PRNGKey(0), cfg))
+    cache = decoder.init_cache(cfg, 1, 768)
+    tok = jnp.asarray([[1]], jnp.int32)
+
+    def fn(cache, tok, rng):
+        return decoder.generate_scan(qp, cfg, cache, tok, rng, n_steps=64)
+
+    txt = (
+        jax.jit(fn, donate_argnums=(0,))
+        .lower(cache, tok, jax.random.PRNGKey(0))
+        .compile()
+        .as_text()
+    )
+    # Find the while body computation (the scan body): largest computation
+    # whose name contains "body".
+    comps = re.split(r"\n(?=%?\w[\w.-]* \(|ENTRY )", txt)
+    bodies = [c for c in comps if re.match(r"%?\w*body", c.strip().split()[0] or "")]
+    body = max(bodies, key=len) if bodies else txt
+    ops = Counter()
+    customs = Counter()
+    for mline in re.finditer(r"\n\s*(?:ROOT )?\S+ = (\S+?)\[?[({ ]*?(\S*?) ([\w.-]+)\(", body):
+        pass
+    for mline in re.finditer(r"\n\s*(?:ROOT )?%?\S+ = \S+ ([\w-]+)\(", body):
+        ops[mline.group(1)] += 1
+    for mline in re.finditer(r'custom_call_target="([^"]+)"', body):
+        customs[mline.group(1)] += 1
+    for mline in re.finditer(r'"kernel_name":\s*"([^"]+)"', body):
+        customs["kernel:" + mline.group(1)] += 1
+    print("while-body ops:", dict(ops.most_common(25)), flush=True)
+    print("custom-call targets:", dict(customs.most_common(25)), flush=True)
+    # fusion shapes give a hint of the data they shuffle
+    for mline in list(re.finditer(r"\n\s*%?\S+ = (\S+) fusion\(", body))[:40]:
+        print("  fusion out:", mline.group(1), flush=True)
+
 if __name__ == "__main__":
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     globals()[sys.argv[1]]()

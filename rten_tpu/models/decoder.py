@@ -87,8 +87,9 @@ class DecoderConfig:
     d_ff: int = 3072
     max_seq: int = 1024
     pos_encoding: str = "learned"  # "learned" | "rope"
+    pos_offset: int = 0  # learned-pos table offset (OPT reserves 2 rows)
     norm: str = "layernorm"  # "layernorm" | "rmsnorm"
-    activation: str = "gelu"  # "gelu" | "swiglu"
+    activation: str = "gelu"  # "gelu" | "relu" | "swiglu"
     rope_theta: float = 10000.0
     layer_norm_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
@@ -481,19 +482,28 @@ def _proj(x, w, b=None, out_dim: int | None = None, activation: str | None = Non
         if not epilogue_fused:
             if b is not None:
                 out = out + b
-            if activation == "gelu":
-                out = jax.nn.gelu(out.astype(jnp.float32), approximate=False).astype(
-                    x.dtype
-                )
+            out = _apply_activation(out, activation, x.dtype)
         return out.astype(x.dtype)
     out = dispatch.matmul(x, w)
     if out_dim is not None and out.shape[-1] != out_dim:
         out = out[..., :out_dim]
     if b is not None:
         out = out + b
+    return _apply_activation(out, activation, x.dtype)
+
+
+def _apply_activation(out, activation, dtype):
+    """XLA-path activation matching the kernels' _ACTIVATIONS semantics
+    (erf GELU, not tanh) so fused/unfused paths agree numerically."""
+    if activation is None or activation == "swiglu":
+        return out
     if activation == "gelu":
-        out = jax.nn.gelu(out.astype(jnp.float32), approximate=False).astype(x.dtype)
-    return out
+        return jax.nn.gelu(out.astype(jnp.float32), approximate=False).astype(dtype)
+    if activation == "relu":
+        return jax.nn.relu(out).astype(dtype)
+    from rten_tpu.kernels.matmul_pallas import _ACTIVATIONS
+
+    return _ACTIVATIONS[activation](out.astype(jnp.float32)).astype(dtype)
 
 
 def _rope(x, positions, theta: float):
@@ -536,7 +546,7 @@ def forward(
     else:
         positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
     if cfg.pos_encoding == "learned":
-        x = x + jnp.take(params["pos_emb"], positions, axis=0)
+        x = x + jnp.take(params["pos_emb"], positions + cfg.pos_offset, axis=0)
 
     # Decode fast path: at ≤8 total rows the int8 GEMV kernel fuses the
     # pre-norm prologue and bias/activation/residual epilogue, so a whole
@@ -921,7 +931,7 @@ def forward(
                     layer["w_down"]["s"],
                     layer.get("b_up"),
                     layer.get("b_down"),
-                    activation="gelu",
+                    activation=cfg.activation,
                     norm=cfg.norm,
                     norm_scale=layer["ln2"]["scale"],
                     norm_bias=layer["ln2"].get("bias"),
@@ -934,17 +944,19 @@ def forward(
                     out, qkv_pending = out
                 x = out.reshape(*x.shape)
                 continue
-            # Pre-norm + GELU both fuse into the up-projection kernel.
+            # Pre-norm + activation both fuse into the up-projection kernel.
             ff = (
                 _fproj(
                     x,
                     layer["w_up"],
                     layer.get("b_up"),
-                    activation="gelu",
+                    activation=cfg.activation,
                     norm_p=layer["ln2"],
                 )
                 if fuse
-                else _proj(xn, layer["w_up"], layer.get("b_up"), activation="gelu")
+                else _proj(
+                    xn, layer["w_up"], layer.get("b_up"), activation=cfg.activation
+                )
             )
         x = _fproj(ff, layer["w_down"], layer.get("b_down"), residual=resid)
 
@@ -1149,6 +1161,62 @@ def from_hf_gpt2(hf_state: dict, cfg: DecoderConfig, dtype=None) -> dict:
                 "b_up": g(p + "mlp.c_fc.bias"),
                 "w_down": g(p + "mlp.c_proj.weight"),
                 "b_down": g(p + "mlp.c_proj.bias"),
+            }
+        )
+    return params
+
+
+def from_hf_opt(hf_state: dict, cfg: DecoderConfig, dtype=None) -> dict:
+    """Convert a HuggingFace ``OPTForCausalLM``/``OPTModel`` state dict into
+    this module's params pytree (ReLU MLP, learned positions with the
+    OPT-reserved 2-row offset — cfg.pos_offset=2, pre-norm layout;
+    do_layer_norm_before=False variants like opt-350m and its
+    project_in/out bottleneck are not supported). nn.Linear weights are
+    [out, in] → transposed. Reference analog: the converter's per-arch
+    name mapping (rten-convert/rten_convert/converter.py)."""
+    dtype = dtype or cfg.dtype
+
+    def g(name):
+        for key in (name, "model." + name, "model.decoder." + name, "decoder." + name):
+            if key in hf_state:
+                return jnp.asarray(_as_np(hf_state[key]), dtype)
+        raise KeyError(name)
+
+    if any("project_in" in k for k in hf_state):
+        raise ValueError("OPT project_in/out variants (opt-350m) unsupported")
+    params: dict = {
+        "tok_emb": g("embed_tokens.weight"),
+        "pos_emb": g("embed_positions.weight"),
+        "final_norm": {
+            "scale": g("final_layer_norm.weight"),
+            "bias": g("final_layer_norm.bias"),
+        },
+        "layers": [],
+    }
+    for i in range(cfg.n_layers):
+        p = f"layers.{i}."
+        params["layers"].append(
+            {
+                "ln1": {
+                    "scale": g(p + "self_attn_layer_norm.weight"),
+                    "bias": g(p + "self_attn_layer_norm.bias"),
+                },
+                "ln2": {
+                    "scale": g(p + "final_layer_norm.weight"),
+                    "bias": g(p + "final_layer_norm.bias"),
+                },
+                "wq": g(p + "self_attn.q_proj.weight").T,
+                "bq": g(p + "self_attn.q_proj.bias"),
+                "wk": g(p + "self_attn.k_proj.weight").T,
+                "bk": g(p + "self_attn.k_proj.bias"),
+                "wv": g(p + "self_attn.v_proj.weight").T,
+                "bv": g(p + "self_attn.v_proj.bias"),
+                "wo": g(p + "self_attn.out_proj.weight").T,
+                "bo": g(p + "self_attn.out_proj.bias"),
+                "w_up": g(p + "fc1.weight").T,
+                "b_up": g(p + "fc1.bias"),
+                "w_down": g(p + "fc2.weight").T,
+                "b_down": g(p + "fc2.bias"),
             }
         )
     return params

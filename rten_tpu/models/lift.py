@@ -121,6 +121,42 @@ def lift_decoder(model_or_graph, n_heads: int | None = None, dtype=None):
         params = from_hf_gpt2({k: _T(v) for k, v in w.items()}, cfg, dtype)
         return cfg, params
 
+    if (
+        "decoder.embed_tokens.weight" in w
+        and "decoder.layers.0.fc1.weight" in w
+        # Whisper-class enc-dec decoders also use fc1/fc2 naming — anything
+        # with encoder weights or cross-attention belongs to
+        # lift_encoder_decoder, not here.
+        and not any("encoder" in k for k in w)
+    ):
+        # OPT family (maskless HF exports previously fell to the interpret
+        # path): ReLU MLP, learned positions with the 2-row table offset.
+        d = w["decoder.embed_tokens.weight"].shape[1]
+        n_layers = 1 + max(
+            int(m.group(1))
+            for k in w
+            if (m := re.match(r"decoder\.layers\.(\d+)\.", k))
+        )
+        if n_heads is None and graph is not None:
+            n_heads = infer_n_heads(graph, d)
+        if n_heads is None:
+            raise LiftError("n_heads not inferable — pass n_heads=")
+        cfg = DecoderConfig(
+            vocab_size=w["decoder.embed_tokens.weight"].shape[0],
+            n_layers=n_layers,
+            n_heads=n_heads,
+            d_model=d,
+            d_ff=w["decoder.layers.0.fc1.weight"].shape[0],
+            max_seq=w["decoder.embed_positions.weight"].shape[0] - 2,
+            pos_offset=2,
+            activation="relu",
+            dtype=dtype,
+        )
+        from rten_tpu.models.decoder import from_hf_opt
+
+        params = from_hf_opt(w, cfg, dtype)  # _as_np accepts plain numpy
+        return cfg, params
+
     if "embed_tokens.weight" in w:  # Llama family
         d = w["embed_tokens.weight"].shape[1]
         n_layers = 1 + max(

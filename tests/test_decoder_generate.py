@@ -373,3 +373,54 @@ def test_decoder_matches_huggingface_qwen2_biases():
         ref = hf(torch.tensor(ids)).logits.numpy()
     got, _ = decoder.forward(params, cfg, jnp.asarray(ids, jnp.int32), None, use_flash=False)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=3e-4)
+
+
+def test_decoder_matches_huggingface_opt():
+    """OPT family (ReLU MLP, learned positions with the 2-row table offset):
+    from_hf_opt + forward match OPTForCausalLM exactly — the lift target for
+    maskless OPT exports (VERDICT r4 #8; reference runs any such graph at
+    native speed via Graph::run, src/graph.rs:820)."""
+    torch = pytest.importorskip("torch")
+    from transformers import OPTConfig, OPTForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = OPTConfig(
+        vocab_size=96,
+        hidden_size=64,
+        ffn_dim=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        max_position_embeddings=32,
+        do_layer_norm_before=True,
+        dropout=0.0,
+        attention_dropout=0.0,
+        activation_function="relu",
+        word_embed_proj_dim=64,
+    )
+    hf = OPTForCausalLM(hf_cfg).eval()
+
+    cfg = decoder.DecoderConfig(
+        vocab_size=96, n_layers=2, n_heads=4, d_model=64, d_ff=256, max_seq=32,
+        pos_offset=2, activation="relu", dtype=jnp.float32,
+    )
+    params = decoder.from_hf_opt(hf.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 96, (2, 7)).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    got, _ = decoder.forward(params, cfg, jnp.asarray(ids, jnp.int32), None, use_flash=False)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=3e-4)
+
+    # Decode continuation with a cache matches the full-sequence forward.
+    cache = decoder.init_cache(cfg, 2, 16)
+    lg, cache = decoder.prefill(params, cfg, jnp.asarray(ids[:, :5], jnp.int32), cache)
+    np.testing.assert_allclose(
+        np.asarray(lg), np.asarray(got)[:, :5], rtol=2e-3, atol=3e-4
+    )
+    step, cache = decoder.decode_step(
+        params, cfg, jnp.asarray(ids[:, 5:6], jnp.int32), cache
+    )
+    np.testing.assert_allclose(
+        np.asarray(step)[:, 0], np.asarray(got)[:, 5], rtol=2e-3, atol=3e-4
+    )

@@ -240,3 +240,65 @@ def test_backend_for_model_lifts_encoder_decoder(rng):
     assert isinstance(backend, EncDecBackend)
     gen = Generator(backend, GeneratorConfig(max_tokens=4)).with_prompt([1])
     assert len([int(t[0]) for t in itertools.islice(gen, 4)]) == 4
+
+
+def _opt_state(rng, n_layers=2, d=64, ff=256, vocab=96, pos=32):
+    st = {
+        "model.decoder.embed_tokens.weight": rng.standard_normal((vocab, d)).astype(np.float32),
+        "model.decoder.embed_positions.weight": rng.standard_normal((pos + 2, d)).astype(np.float32),
+        "model.decoder.final_layer_norm.weight": np.ones(d, np.float32),
+        "model.decoder.final_layer_norm.bias": np.zeros(d, np.float32),
+    }
+    for i in range(n_layers):
+        p = f"model.decoder.layers.{i}."
+        for ln in ("self_attn_layer_norm", "final_layer_norm"):
+            st[p + ln + ".weight"] = np.ones(d, np.float32)
+            st[p + ln + ".bias"] = np.zeros(d, np.float32)
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            st[p + f"self_attn.{proj}.weight"] = (
+                rng.standard_normal((d, d)).astype(np.float32) * 0.1
+            )
+            st[p + f"self_attn.{proj}.bias"] = np.zeros(d, np.float32)
+        st[p + "fc1.weight"] = rng.standard_normal((ff, d)).astype(np.float32) * 0.1
+        st[p + "fc1.bias"] = np.zeros(ff, np.float32)
+        st[p + "fc2.weight"] = rng.standard_normal((d, ff)).astype(np.float32) * 0.1
+        st[p + "fc2.bias"] = np.zeros(d, np.float32)
+    return st
+
+
+def test_lift_opt_graph_matches_direct_import(rng):
+    """OPT family lift (VERDICT r4 #8): a maskless OPT export's weights lift
+    onto the native decoder — previously this family fell to the interpret
+    path (reference analog: any graph runs at native speed, graph.rs:820)."""
+    st = _opt_state(rng)
+    graph = _graph_from_state(st, n_heads=4, d=64)
+
+    cfg, params = lift_decoder(graph)
+    assert cfg.activation == "relu" and cfg.pos_offset == 2
+    assert cfg.n_layers == 2 and cfg.max_seq == 32 and cfg.vocab_size == 96
+
+    direct = decoder.from_hf_opt(
+        st,
+        decoder.DecoderConfig(
+            vocab_size=96, n_layers=2, n_heads=4, d_model=64, d_ff=256,
+            max_seq=32, pos_offset=2, activation="relu", dtype=jnp.float32,
+        ),
+        jnp.float32,
+    )
+    ids = jnp.asarray(np.arange(7, dtype=np.int32)[None])
+    ref, _ = decoder.forward(direct, cfg, ids, None, use_flash=False)
+    got, _ = decoder.forward(params, cfg, ids, None, use_flash=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_backend_for_model_lifts_opt(rng):
+    """backend_for_model returns the NativeBackend (compiled kernels) for a
+    lifted OPT graph — no interpret fallback, no slow-path warning."""
+    from rten_tpu.format import save_rten
+    from rten_tpu.generate.generator import NativeBackend, backend_for_model
+    from rten_tpu.runtime.session import Model
+
+    st = _opt_state(rng)
+    graph = _graph_from_state(st, n_heads=4, d=64)
+    backend = backend_for_model(graph)
+    assert isinstance(backend, NativeBackend)
