@@ -468,6 +468,73 @@ def bodyops():
     for mline in list(re.finditer(r"\n\s*%?\S+ = (\S+) fusion\(", body))[:40]:
         print("  fusion out:", mline.group(1), flush=True)
 
+
+def argmaxcost():
+    """Isolate the fused-argmax epilogue cost on the lm_head GEMV: the
+    layerslope intercept carries ~22 us over the lm_head kernel floor, and
+    the floor was measured WITHOUT argmax — if the per-stripe running-argmax
+    reduction serializes with the weight stream, wider stripes (fewer
+    epilogue reductions) should close it."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rten_tpu.kernels.quant_matmul import (
+        quant_gemv_int8,
+        quantize_weights_int8,
+        tile_gemv_weights,
+    )
+    from rten_tpu.utils.bench import marginal_step_time
+
+    k, n = 768, 51200
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((1, k)).astype(np.float32), jnp.bfloat16)
+    qw, qs = quantize_weights_int8(rng.standard_normal((k, n)).astype(np.float32))
+    qd, sd = jnp.asarray(qw), jnp.asarray(qs)
+    tiles = {1024: tile_gemv_weights(qd, 1024), 4096: tile_gemv_weights(qd, 4096)}
+    ns = jnp.ones((k,), jnp.bfloat16)
+    nb = jnp.zeros((k,), jnp.bfloat16)
+
+    def mk(w, argmax, norm):
+        kw = dict(argmax_n=50257) if argmax else {}
+        nkw = (
+            dict(norm="layernorm", norm_scale=ns, norm_bias=nb) if norm else {}
+        )
+
+        def fn(c):
+            out = quant_gemv_int8(c, w, sd, **kw, **nkw)
+            if argmax:
+                # feed the token back as a fake activation so the chain deps
+                return (x0 + out[0].astype(jnp.bfloat16) * 0).astype(jnp.bfloat16)
+            return out[:, :k].astype(jnp.bfloat16)
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def chain(s):
+            return jax.lax.scan(lambda c, _: (fn(c), None), x0, None, length=s)[0]
+
+        return chain
+
+    variants = {
+        "tile1024-plain": mk(tiles[1024], False, False),
+        "tile1024-norm": mk(tiles[1024], False, True),
+        "tile1024-norm-argmax": mk(tiles[1024], True, True),
+        "tile4096-norm-argmax": mk(tiles[4096], True, True),
+    }
+    results = {lab: [] for lab in variants}
+    for rep in range(3):
+        for lab, chain in variants.items():
+            results[lab].append(
+                marginal_step_time(lambda s: chain(s), 32, 256, trials=4)
+            )
+    for lab, ts in results.items():
+        t = min(ts)
+        print(
+            f"{lab:22s}: {t * 1e6:6.1f} us  ({k * n / t / 1e9:6.1f} GB/s)  "
+            f"reps={[round(x * 1e6, 1) for x in ts]}",
+            flush=True,
+        )
+
 if __name__ == "__main__":
     import os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
