@@ -57,6 +57,29 @@ _LANES = 128
 _BATCHED_ATTN_DEFAULT = os.environ.get("RTEN_BATCHED_ATTN", "0") == "1"
 
 
+def _norm_rows_f32(x, kind, eps, scale_ref, bias_ref):
+    """f32 row-norm used by the whole-block fusion (mirrors quant_matmul's
+    _norm_rows; duplicated locally to keep kernel modules import-acyclic)."""
+    if kind == "rmsnorm":
+        x = x * jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + eps)
+    else:
+        mean = jnp.mean(x, -1, keepdims=True)
+        xc = x - mean
+        x = xc * jax.lax.rsqrt(jnp.mean(xc * xc, -1, keepdims=True) + eps)
+    x = x * scale_ref[...].astype(jnp.float32)
+    if bias_ref is not None:
+        x = x + bias_ref[...].astype(jnp.float32)
+    return x
+
+
+def _activate_f32(x, kind):
+    # Same table the fused-MLP kernel uses (gelu = the erf polynomial) so the
+    # whole-block fusion is numerically identical to the two-kernel path.
+    from rten_tpu.kernels.matmul_pallas import _ACTIVATIONS
+
+    return _ACTIVATIONS[kind](x)
+
+
 def _decode_attn_kernel(
     # scalar prefetch
     kv_len_ref,
@@ -85,8 +108,28 @@ def _decode_attn_kernel(
     d: int,
     group: int,
     sm_scale: float,
+    mega=None,  # dict of refs — whole-block fusion (MLP [+ next qkv]); see
+    #             decode_attention's ``mlp=``/``next_qkv=`` kwargs
+    activation=None,
+    norm=None,
+    norm_eps: float = 1e-5,
 ):
     b = pl.program_id(0)
+    if mega is not None:
+        # Whole-block fusion: the MLP (and next layer's qkv) int8 weights
+        # stay in HBM (memory_space=ANY) and stream into VMEM scratch UNDER
+        # the attention loop — started here, awaited only after the online
+        # softmax finishes. A gridless VMEM BlockSpec would serialize the
+        # ~6.5 MB weight DMA BEFORE the kernel body (Pallas waits for all
+        # blocks), recreating exactly the per-kernel exposure this fusion
+        # removes.
+        wsem = mega["wsem"]
+        pltpu.make_async_copy(mega["wu_hbm"], mega["wu_buf"], wsem.at[0]).start()
+        pltpu.make_async_copy(mega["wd_hbm"], mega["wd_buf"], wsem.at[1]).start()
+        if mega.get("wq_hbm") is not None:
+            pltpu.make_async_copy(
+                mega["wq_hbm"], mega["wq_buf"], wsem.at[2]
+            ).start()
     length = kv_len_ref[b]
     n_blocks = pl.cdiv(length, block_s)
     f = _LANES // d  # tokens packed per 128-lane buffer row
@@ -288,6 +331,55 @@ def _decode_attn_kernel(
             # be 8 or the full array dim); row 0 carries the data.
             r = res_ref[...] if res_ref.ndim == 2 else res_ref[0, 0:1, :]
             out = out + r.astype(jnp.float32)
+        if mega is not None:
+            # The rest of the transformer block runs here, on weights that
+            # streamed in under the attention loop. Dots in bf16 (m=1 rows:
+            # f32's slower MXU rate would be fully exposed, see _mlp_kernel),
+            # norm/scale/activation math in f32 — numerically identical to
+            # the standalone quant_mlp_int8 kernel.
+            dd = jnp.bfloat16 if o_ref.dtype == jnp.bfloat16 else jnp.float32
+            wsem = mega["wsem"]
+            pltpu.make_async_copy(
+                mega["wu_hbm"], mega["wu_buf"], wsem.at[0]
+            ).wait()
+            xn = _norm_rows_f32(
+                out, norm, norm_eps, mega["ns_ref"], mega.get("nb_ref")
+            )
+            up = jnp.dot(
+                xn.astype(dd),
+                mega["wu_buf"][...].astype(dd),
+                preferred_element_type=jnp.float32,
+            ) * mega["su_ref"][...]
+            if mega.get("bu_ref") is not None:
+                up = up + mega["bu_ref"][...].astype(jnp.float32)
+            up = _activate_f32(up, activation)
+            pltpu.make_async_copy(
+                mega["wd_hbm"], mega["wd_buf"], wsem.at[1]
+            ).wait()
+            down = jnp.dot(
+                up.astype(dd),
+                mega["wd_buf"][...].astype(dd),
+                preferred_element_type=jnp.float32,
+            ) * mega["sd_ref"][...]
+            if mega.get("bd_ref") is not None:
+                down = down + mega["bd_ref"][...].astype(jnp.float32)
+            down = down + out  # block residual
+            out = down
+            if mega.get("wq_hbm") is not None:
+                pltpu.make_async_copy(
+                    mega["wq_hbm"], mega["wq_buf"], wsem.at[2]
+                ).wait()
+                xq = _norm_rows_f32(
+                    down, norm, norm_eps, mega["qns_ref"], mega.get("qnb_ref")
+                )
+                qkv = jnp.dot(
+                    xq.astype(dd),
+                    mega["wq_buf"][...].astype(dd),
+                    preferred_element_type=jnp.float32,
+                ) * mega["sq_ref"][...]
+                if mega.get("bq_ref") is not None:
+                    qkv = qkv + mega["bq_ref"][...].astype(jnp.float32)
+                mega["oq_ref"][...] = qkv.astype(mega["oq_ref"].dtype)
         if o_ref.ndim == 2:
             o_ref[...] = out.astype(o_ref.dtype)
         else:
@@ -571,7 +663,15 @@ def decode_attention_supported(head_dim: int, s_max: int, block_s: int = 256) ->
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "block_s", "interpret", "batched"),
+    static_argnames=(
+        "sm_scale",
+        "block_s",
+        "interpret",
+        "batched",
+        "activation",
+        "norm",
+        "norm_eps",
+    ),
 )
 def decode_attention(
     q,
@@ -585,11 +685,21 @@ def decode_attention(
     wo_bias=None,
     residual=None,  # [B, Dm] added after the projection
     packed_qkv=None,  # [B, 3, Hk, 8, D] — q|k_new|v_new in ONE operand
+    mlp=None,  # (w_up_q [Dm,FF] int8, up_scales [FF], w_down_q [FF,Dm] int8,
+    #            down_scales [Dm], b_up|None, b_down|None,
+    #            ln2_scale [Dm], ln2_bias [Dm]|None) — fuse the WHOLE
+    #            transformer block into this kernel (requires fused wo +
+    #            residual; B == 1, per-cell path)
+    next_qkv=None,  # (w_qkv [Dm,Nq] int8, scales [Nq], bias [Nq]|None,
+    #                 next_ln_scale [Dm], next_ln_bias [Dm]|None)
     *,
     sm_scale: float | None = None,
     block_s: int = 256,
     interpret: bool = False,
     batched: bool | None = None,
+    activation: str | None = "gelu",
+    norm: str | None = "layernorm",
+    norm_eps: float = 1e-5,
 ):
     """softmax(q @ kᵀ · scale) @ v over the valid cache prefix.
 
@@ -613,8 +723,25 @@ def decode_attention(
 
     Causality is implied either way: the single query is the last valid
     position.
+
+    With ``mlp`` the ENTIRE transformer block runs as this one kernel:
+    attention → wo + residual → ln2 → up → activation → down + residual,
+    and with ``next_qkv`` additionally the NEXT layer's pre-norm + qkv
+    projection of the block output. The MLP/qkv int8 weights stay in HBM
+    and stream into VMEM scratch UNDER the attention loop (started at
+    kernel entry, awaited after the softmax accumulation) — the ~6.5 MB
+    weight DMA and the KV-cache stream overlap instead of paying two
+    kernel launches + exposed DMA round-trips per layer. Returns
+    (x, k_cache, v_cache) or (x, qkv_next, k_cache, v_cache).
     """
     packed = packed_qkv is not None
+    megafused = mlp is not None
+    if megafused:
+        assert wo_q is not None and residual is not None, (
+            "mlp fusion requires the fused wo projection + residual"
+        )
+        assert norm is not None, "mlp fusion requires fused norms"
+        assert next_qkv is None or norm is not None
     if packed:
         assert q is None and k_new is None and v_new is None
         assert wo_q is not None, "packed_qkv requires the fused wo projection"
@@ -638,6 +765,10 @@ def decode_attention(
         group = h // hk
     if sm_scale is None:
         sm_scale = 1.0 / (d**0.5)
+    if megafused:
+        # A grid cell per batch row would re-stream the whole MLP weight set
+        # B times; the fusion is a batch-1 (latency-bound) decode optimization.
+        assert b == 1, "mlp fusion supports batch 1 (per-cell grid)"
     kv_len = jnp.asarray(kv_len, jnp.int32).reshape(b)
 
     # Caches may arrive UNFOLDED [B, Hk, S, D] or pre-FOLDED
@@ -823,6 +954,55 @@ def decode_attention(
                 )
             wo_have.append("res")
 
+    mega_have = []
+    n_q = 0
+    if megafused:
+        w_up_q, up_scales, w_down_q, down_scales, b_up, b_down, ns, nb = mlp
+        ff = w_up_q.shape[1]
+        assert w_up_q.shape == (dm, ff) and w_down_q.shape == (ff, dm)
+        # Weight matrices stay in HBM (ANY): the kernel streams them into
+        # VMEM scratch under the attention loop. Small per-channel params
+        # ride in as ordinary VMEM blocks.
+        args.append(w_up_q)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(up_scales.reshape(1, ff))
+        in_specs.append(pl.BlockSpec((1, ff), lambda bi, *_: (0, 0)))
+        args.append(w_down_q)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(down_scales.reshape(1, dm))
+        in_specs.append(pl.BlockSpec((1, dm), lambda bi, *_: (0, 0)))
+        for name, val, width in (
+            ("bu_ref", b_up, ff),
+            ("bd_ref", b_down, dm),
+            ("ns_ref", ns, dm),
+            ("nb_ref", nb, dm),
+        ):
+            if val is not None:
+                args.append(val.reshape(1, width))
+                in_specs.append(
+                    pl.BlockSpec((1, width), lambda bi, *_: (0, 0))
+                )
+                mega_have.append(name)
+        if next_qkv is not None:
+            w_qkv, sq, bq, qns, qnb = next_qkv
+            n_q = w_qkv.shape[1]
+            assert w_qkv.shape == (dm, n_q)
+            args.append(w_qkv)
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            mega_have.append("wq_hbm")
+            for name, val, width in (
+                ("sq_ref", sq, n_q),
+                ("bq_ref", bq, n_q),
+                ("qns_ref", qns, dm),
+                ("qnb_ref", qnb, dm),
+            ):
+                if val is not None:
+                    args.append(val.reshape(1, width))
+                    in_specs.append(
+                        pl.BlockSpec((1, width), lambda bi, *_: (0, 0))
+                    )
+                    mega_have.append(name)
+
     if fused_write:
         out_shape = (
             attn_out_shape,
@@ -841,6 +1021,19 @@ def decode_attention(
         out_shape = attn_out_shape
         out_specs = attn_out_spec
         aliases = {}
+    if next_qkv is not None:
+        # qkv output appended LAST so the cache alias output indices above
+        # stay valid.
+        out_shape = (*out_shape, jax.ShapeDtypeStruct((b, n_q), out_dtype)) if isinstance(out_shape, tuple) else (out_shape, jax.ShapeDtypeStruct((b, n_q), out_dtype))
+        out_specs = (*out_specs, pl.BlockSpec((b, n_q), lambda bi, *_: (0, 0))) if isinstance(out_specs, tuple) else (out_specs, pl.BlockSpec((b, n_q), lambda bi, *_: (0, 0)))
+    if megafused:
+        scratch += [
+            pltpu.VMEM(w_up_q.shape, w_up_q.dtype),
+            pltpu.VMEM(w_down_q.shape, w_down_q.dtype),
+        ]
+        if next_qkv is not None:
+            scratch.append(pltpu.VMEM((dm, n_q), w_qkv.dtype))
+        scratch.append(pltpu.SemaphoreType.DMA((3,)))
 
     def kernel(kv_len_ref, first_ref, k_hbm, v_hbm, *rest):
         rest = list(rest)
@@ -856,14 +1049,41 @@ def decode_attention(
             res_ref = rest.pop(0) if "res" in wo_have else None
         else:
             wo_ref = wos_ref = wob_ref = res_ref = None
+        mega = None
+        if megafused:
+            mega = {
+                "wu_hbm": rest.pop(0),
+                "su_ref": rest.pop(0),
+                "wd_hbm": rest.pop(0),
+                "sd_ref": rest.pop(0),
+            }
+            for name in ("bu_ref", "bd_ref", "ns_ref", "nb_ref"):
+                if name in mega_have:
+                    mega[name] = rest.pop(0)
+            if "wq_hbm" in mega_have:
+                mega["wq_hbm"] = rest.pop(0)
+                for name in ("sq_ref", "bq_ref", "qns_ref", "qnb_ref"):
+                    if name in mega_have:
+                        mega[name] = rest.pop(0)
+            # Mega scratch rides at the TAIL of the scratch list:
+            # [..., wu_buf, wd_buf, (wq_buf), wsem].
+            mega["wsem"] = rest.pop()
+            if "wq_hbm" in mega_have:
+                mega["wq_buf"] = rest.pop()
+            mega["wd_buf"] = rest.pop()
+            mega["wu_buf"] = rest.pop()
         if fused_write:
             o_ref, ko_ref, vo_ref = rest.pop(0), rest.pop(0), rest.pop(0)
+            if mega is not None and "wq_hbm" in mega_have:
+                mega["oq_ref"] = rest.pop(0)
             k_buf, v_buf, sem_, row_buf, row_sem = rest
             # Aliased outputs ARE the input buffers; write through them.
             k_tgt, v_tgt = ko_ref, vo_ref
         else:
             row_buf = row_sem = None
             o_ref = rest.pop(0)
+            if mega is not None and "wq_hbm" in mega_have:
+                mega["oq_ref"] = rest.pop(0)
             k_buf, v_buf, sem_ = rest
             k_tgt, v_tgt = k_hbm, v_hbm
         if batched:
@@ -881,6 +1101,8 @@ def decode_attention(
                 k_buf, v_buf, sem_, row_buf, row_sem,
                 block_s=block_s, rows_per_block=rows_per_block,
                 d=d, group=group, sm_scale=sm_scale,
+                mega=mega, activation=activation, norm=norm,
+                norm_eps=norm_eps,
             )
 
     res = pl.pallas_call(
@@ -912,11 +1134,19 @@ def decode_attention(
         return out[:, :, :group, :d].reshape(b, h, 1, d)
 
     if fused_write:
-        out, k_out, v_out = res
+        if next_qkv is not None:
+            out, k_out, v_out, oq = res
+        else:
+            out, k_out, v_out = res
         if not prefolded:
             k_out = k_out.reshape(b, hk, s_max, d)
             v_out = v_out.reshape(b, hk, s_max, d)
+        if next_qkv is not None:
+            return (finish_attn(out), oq, k_out, v_out)
         return (finish_attn(out), k_out, v_out)
+    if next_qkv is not None:
+        out, oq = res
+        return (finish_attn(out), oq)
     return finish_attn(res)
 
 

@@ -511,6 +511,83 @@ def test_decode_attention_packed_qkv_matches_separate(rng):
     np.testing.assert_array_equal(np.asarray(v2), np.asarray(ref_v))
 
 
+def test_decode_attention_mega_block_fusion(rng):
+    """Whole-transformer-block fusion (attention + wo + MLP + next-layer qkv
+    in ONE kernel, weights streamed under the attention loop) must match the
+    two-kernel composition decode_attention(fused wo) → quant_mlp_int8."""
+    from rten_tpu.kernels.decode_attention import decode_attention
+    from rten_tpu.kernels.quant_matmul import quant_mlp_int8, quantize_weights_int8
+
+    b, h, s, d, dm, ff, nq = 1, 4, 128, 64, 256, 512, 3 * 256
+    q = rng.standard_normal((b, h, 1, d)).astype(np.float32) * 0.3
+    kc = rng.standard_normal((b, h, s, d)).astype(np.float32) * 0.3
+    vc = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    kn = rng.standard_normal((b, h, 1, d)).astype(np.float32) * 0.3
+    vn = rng.standard_normal((b, h, 1, d)).astype(np.float32)
+    lens = np.array([77], np.int32)
+    wo_q, wo_s = quantize_weights_int8(
+        rng.standard_normal((h * d, dm)).astype(np.float32)
+    )
+    wo_b = rng.standard_normal((dm,)).astype(np.float32) * 0.1
+    resid = rng.standard_normal((b, dm)).astype(np.float32)
+    wu_q, wu_s = quantize_weights_int8(
+        rng.standard_normal((dm, ff)).astype(np.float32)
+    )
+    wd_q, wd_s = quantize_weights_int8(
+        rng.standard_normal((ff, dm)).astype(np.float32)
+    )
+    b_up = rng.standard_normal((ff,)).astype(np.float32) * 0.1
+    b_down = rng.standard_normal((dm,)).astype(np.float32) * 0.1
+    ns = 1.0 + rng.standard_normal((dm,)).astype(np.float32) * 0.1
+    nb = rng.standard_normal((dm,)).astype(np.float32) * 0.1
+    wq_q, wq_s = quantize_weights_int8(
+        rng.standard_normal((dm, nq)).astype(np.float32)
+    )
+    bq = rng.standard_normal((nq,)).astype(np.float32) * 0.1
+    qns = 1.0 + rng.standard_normal((dm,)).astype(np.float32) * 0.1
+    qnb = rng.standard_normal((dm,)).astype(np.float32) * 0.1
+    J = jnp.asarray
+
+    # Reference: the existing two-kernel composition.
+    attn_out, ref_k, ref_v = decode_attention(
+        J(q), J(kc), J(vc), J(lens), J(kn), J(vn),
+        J(wo_q), J(wo_s), J(wo_b), J(resid),
+        block_s=128, interpret=True,
+    )
+    ref_x, ref_qkv = quant_mlp_int8(
+        attn_out, J(wu_q), J(wu_s), J(wd_q), J(wd_s), J(b_up), J(b_down),
+        activation="gelu", norm="layernorm", norm_scale=J(ns), norm_bias=J(nb),
+        norm_eps=1e-5, residual=attn_out,
+        next_qkv=(J(wq_q), J(wq_s), J(bq), J(qns), J(qnb)),
+        interpret=True,
+    )
+
+    x, qkv, k2, v2 = decode_attention(
+        J(q), J(kc), J(vc), J(lens), J(kn), J(vn),
+        J(wo_q), J(wo_s), J(wo_b), J(resid),
+        mlp=(J(wu_q), J(wu_s), J(wd_q), J(wd_s), J(b_up), J(b_down), J(ns), J(nb)),
+        next_qkv=(J(wq_q), J(wq_s), J(bq), J(qns), J(qnb)),
+        activation="gelu", norm="layernorm", norm_eps=1e-5,
+        block_s=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref_x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(qkv), np.asarray(ref_qkv), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(ref_k))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(ref_v))
+
+    # Without next_qkv: (x, k, v) and the same block output.
+    x2, k3, v3 = decode_attention(
+        J(q), J(kc), J(vc), J(lens), J(kn), J(vn),
+        J(wo_q), J(wo_s), J(wo_b), J(resid),
+        mlp=(J(wu_q), J(wu_s), J(wd_q), J(wd_s), J(b_up), J(b_down), J(ns), J(nb)),
+        activation="gelu", norm="layernorm", norm_eps=1e-5,
+        block_s=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(ref_x), rtol=1e-5, atol=1e-5)
+
+
 def test_quant_matmul_int8_multiblock_bias_act(rng):
     """Multi-K-block accumulation with bias/activation epilogue (the
     chunked-epilogue path is covered at wide N in
