@@ -661,6 +661,30 @@ def decode_attention_supported(head_dim: int, s_max: int, block_s: int = 256) ->
     )
 
 
+def mega_block_supported(
+    d_model: int,
+    ff: int,
+    n_qkv: int,
+    hk: int,
+    head_dim: int,
+    s_max: int,
+    kv_bytes: int = 2,
+    block_s: int = 256,
+) -> bool:
+    """VMEM-budget + shape gate for the whole-block fusion (attention +
+    wo + MLP + next qkv in one kernel). Attention double buffers plus the
+    int8 weight set must fit comfortably in VMEM (~16 MB on v5e; budget
+    12 MB to leave room for the compiler's own staging)."""
+    if not decode_attention_supported(head_dim, s_max, block_s):
+        return False
+    bs = min(block_s, s_max)
+    rows = bs * head_dim // _LANES
+    attn_bufs = 2 * 2 * hk * rows * _LANES * kv_bytes  # k/v double buffers
+    attn_bufs += 2 * 2 * hk * 8 * _LANES * kv_bytes  # RMW row windows
+    weights = d_model * ff * 2 + d_model * n_qkv  # int8 bytes
+    return attn_bufs + weights <= (12 << 20)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

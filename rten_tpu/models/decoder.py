@@ -783,6 +783,66 @@ def forward(
             wo_fused = fuse and isinstance(layer.get("wo"), dict) and layer[
                 "wo"
             ]["q"].shape == (h * hd, cfg.d_model)
+            # Whole-block megakernel: attention + wo + MLP (+ next layer's
+            # qkv) in ONE Pallas kernel — the MLP weights stream from HBM
+            # UNDER the attention loop, removing a kernel launch + exposed
+            # DMA round-trip per layer. RTEN_DECODE_FUSE=mega opts in
+            # (measured A/B gates the default).
+            mega_mlp = mega_next = None
+            if (
+                wo_fused
+                and _fuse_mode == "mega"
+                and fuse_norm
+                and b == 1
+                and cfg.activation in ("gelu", "relu", "silu")
+                and isinstance(layer.get("w_up"), dict)
+                and isinstance(layer.get("w_down"), dict)
+                and layer["w_up"]["q"].shape == (cfg.d_model, cfg.d_ff)
+                and layer["w_down"]["q"].shape == (cfg.d_ff, cfg.d_model)
+            ):
+                from rten_tpu.kernels.decode_attention import (
+                    mega_block_supported,
+                )
+
+                nxt = (
+                    params["layers"][li + 1]
+                    if li + 1 < len(params["layers"])
+                    else None
+                )
+                qkv_dim = (h + 2 * hk) * hd
+                if (
+                    nxt is not None
+                    and isinstance(nxt.get("wqkv"), dict)
+                    and nxt["wqkv"]["q"].shape == (cfg.d_model, qkv_dim)
+                ):
+                    mega_next = (
+                        nxt["wqkv"]["q"],
+                        nxt["wqkv"]["s"],
+                        nxt.get("bqkv"),
+                        nxt["ln1"]["scale"],
+                        nxt["ln1"].get("bias"),
+                    )
+                if mega_block_supported(
+                    cfg.d_model,
+                    cfg.d_ff,
+                    qkv_dim if mega_next is not None else 0,
+                    hk,
+                    hd,
+                    s_max_li,
+                    kv_bytes=cache["k"][li].dtype.itemsize,
+                ):
+                    mega_mlp = (
+                        layer["w_up"]["q"],
+                        layer["w_up"]["s"],
+                        layer["w_down"]["q"],
+                        layer["w_down"]["s"],
+                        layer.get("b_up"),
+                        layer.get("b_down"),
+                        layer["ln2"]["scale"],
+                        layer["ln2"].get("bias"),
+                    )
+                else:
+                    mega_next = None
             if wo_fused:
                 # ... plus the output projection + residual in the SAME
                 # kernel: the attention vector never leaves VMEM. MHA models
@@ -795,11 +855,22 @@ def forward(
                     and hk == h
                     and cfg.pos_encoding != "rope"
                 )
+                mega_kw = (
+                    dict(
+                        mlp=mega_mlp,
+                        next_qkv=mega_next,
+                        activation=cfg.activation,
+                        norm=cfg.norm,
+                        norm_eps=cfg.layer_norm_eps,
+                    )
+                    if mega_mlp is not None
+                    else {}
+                )
                 if packed_ok:
                     # [B,3,Hk,1,D]; decode_attention lane/sublane-pads it to
                     # the 128-minor operand in ONE row-major staging fusion.
                     pk = qkv_flat.reshape(b, 3, hk, 1, hd)
-                    hidden, k_cache, v_cache = decode_attention(
+                    res_attn = decode_attention(
                         None,
                         cache["k"][li],
                         cache["v"][li],
@@ -811,9 +882,10 @@ def forward(
                         layer.get("bo"),
                         resid.reshape(b, cfg.d_model),
                         packed_qkv=pk,
+                        **mega_kw,
                     )
                 else:
-                    hidden, k_cache, v_cache = decode_attention(
+                    res_attn = decode_attention(
                         q,
                         cache["k"][li],
                         cache["v"][li],
@@ -824,9 +896,19 @@ def forward(
                         layer["wo"]["s"],
                         layer.get("bo"),
                         resid.reshape(b, cfg.d_model),
+                        **mega_kw,
                     )
+                if mega_mlp is not None and mega_next is not None:
+                    hidden, qkv_pending, k_cache, v_cache = res_attn
+                else:
+                    hidden, k_cache, v_cache = res_attn
                 attn = None
                 x = hidden.reshape(b, t, cfg.d_model).astype(x.dtype)
+                if mega_mlp is not None:
+                    # The whole block (incl. MLP) ran in the kernel above.
+                    new_k_layers.append(k_cache)
+                    new_v_layers.append(v_cache)
+                    continue
             else:
                 attn, k_cache, v_cache = decode_attention(
                     q, cache["k"][li], cache["v"][li], start, k, v

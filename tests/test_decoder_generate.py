@@ -424,3 +424,70 @@ def test_decoder_matches_huggingface_opt():
     np.testing.assert_allclose(
         np.asarray(step)[:, 0], np.asarray(got)[:, 5], rtol=2e-3, atol=3e-4
     )
+
+
+def test_decode_fuse_mega_matches_plain(monkeypatch):
+    """RTEN_DECODE_FUSE=mega (whole-block megakernel: attention + wo + MLP +
+    next qkv in one Pallas kernel, decoder.py wiring) must produce the same
+    decode step as the default two-kernel fused path. CPU: on_tpu is forced
+    and every decode kernel runs in interpret mode."""
+    import functools as ft
+
+    import rten_tpu.kernels.decode_attention as da_mod
+    import rten_tpu.kernels.dispatch as dispatch
+    import rten_tpu.kernels.quant_matmul as qm_mod
+
+    monkeypatch.setattr(dispatch, "on_tpu", lambda: True)
+    mega_calls = []
+    orig_da = da_mod.decode_attention
+
+    def da_spy(*a, **kw):
+        if kw.get("mlp") is not None:
+            mega_calls.append(kw)
+        return orig_da(*a, interpret=True, **kw)
+
+    monkeypatch.setattr(da_mod, "decode_attention", da_spy)
+    for mod, name in (
+        (qm_mod, "quant_gemv_int8"),
+        (qm_mod, "quant_mlp_int8"),
+        (qm_mod, "quant_matmul_int8"),
+    ):
+        monkeypatch.setattr(mod, name, ft.partial(getattr(mod, name), interpret=True))
+
+    cfg = decoder.DecoderConfig(
+        vocab_size=256,
+        n_layers=2,
+        n_heads=4,
+        d_model=256,  # big enough that quantize_params_int8's >=64KiB
+        d_ff=512,  # threshold quantizes every projection into {"q","s"}
+        max_seq=128,
+        dtype=np.float32,
+    )
+    params = decoder.quantize_params_int8(
+        decoder.init_params(jax.random.PRNGKey(3), cfg)
+    )
+    tok = np.array([[7]], np.int32)
+
+    def one_step(fuse_mode):
+        monkeypatch.setenv("RTEN_DECODE_FUSE", fuse_mode)
+        cache = decoder.init_cache(cfg, 1, 128)
+        cache["len"] = jnp.array([5], jnp.int32)
+        logits, new_cache = decoder.forward(params, cfg, tok, cache)
+        return np.asarray(logits), new_cache
+
+    l_plain, c_plain = one_step("1")
+    assert not mega_calls  # default path never passes mlp=
+    l_mega, c_mega = one_step("mega")
+    assert len(mega_calls) == cfg.n_layers  # megakernel engaged every layer
+    np.testing.assert_allclose(l_mega, l_plain, rtol=2e-4, atol=2e-4)
+    for a, b in zip(c_plain["k"], c_mega["k"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    for a, b in zip(c_plain["v"], c_mega["v"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    # argmax head mode (the generate_scan path) agrees too
+    monkeypatch.setenv("RTEN_DECODE_FUSE", "mega")
+    cache = decoder.init_cache(cfg, 1, 128)
+    cache["len"] = jnp.array([5], jnp.int32)
+    nxt, _ = decoder.forward(params, cfg, tok, cache, lm_head_mode="argmax")
+    assert int(np.asarray(nxt)[0, -1]) == int(np.argmax(l_plain[0, -1]))
