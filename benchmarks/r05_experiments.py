@@ -535,6 +535,164 @@ def argmaxcost():
             flush=True,
         )
 
+def megaab():
+    """Whole-block megakernel A/B (decode_attention mlp= fusion vs the
+    two-kernel default) on the EXACT bench path: decoder.generate_scan
+    (donated cache, greedy fused-argmax head), GPT-2-small int8, prompt 64,
+    cache 768. The trace cache is busted across variants via the use_flash
+    static arg (None vs True are identical on TPU but trace separately, so
+    each variant's RTEN_DECODE_FUSE is snapshotted at ITS trace).
+
+    Measurement discipline: single short/long timed runs tightly
+    interleaved across variants (chip weather hits both equally), slope
+    from global minima, and any slope below the physical streaming floor
+    (weights + kv at 830 GB/s) is reported as contaminated."""
+    import os
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rten_tpu.models import decoder
+
+    cfg = decoder.DecoderConfig(dtype=jnp.bfloat16, max_seq=1024)
+    qp = jax.device_put(
+        decoder.quantize_params_int8(decoder.init_params(jax.random.PRNGKey(0), cfg))
+    )
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 64)).astype(np.int32))
+    n_short, n_long = 64, 512
+
+    weight_bytes = sum(
+        x.nbytes
+        for x in jax.tree.leaves(qp)
+        if hasattr(x, "nbytes") and x.ndim >= 2
+    )
+    kv_prefix = -(-(64 + n_long // 2) // 256) * 256
+    kv_bytes = 2 * cfg.n_layers * cfg.kv_heads * kv_prefix * cfg.head_dim * 2
+    floor = (weight_bytes + kv_bytes) / 830e9
+    print(
+        f"streaming floor {floor * 1e6:.1f} us/step "
+        f"({(weight_bytes + kv_bytes) / 1e6:.0f} MB @ 830 GB/s)",
+        flush=True,
+    )
+
+    def make(fuse_mode, use_flash):
+        def run(steps):
+            os.environ["RTEN_DECODE_FUSE"] = fuse_mode
+            cache = decoder.init_cache(cfg, 1, 768)
+            logits, cache = decoder.prefill(qp, cfg, prompt, cache)
+            first = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            toks, _ = decoder.generate_scan(
+                qp, cfg, cache, first, jax.random.PRNGKey(1),
+                n_steps=steps, use_flash=use_flash,
+            )
+            return toks
+
+        return run
+
+    variants = {"plain": make("1", None), "mega": make("mega", True)}
+    # Warm/trace both lengths per variant; correctness: identical tokens.
+    toks = {}
+    for lab, run in variants.items():
+        toks[lab] = np.asarray(jax.block_until_ready(run(n_short)))
+        jax.block_until_ready(run(n_long))
+    match = bool((toks["plain"] == toks["mega"]).all())
+    print(f"token equality plain==mega over {n_short} steps: {match}", flush=True)
+
+    times = {lab: {"s": [], "l": []} for lab in variants}
+    for rep in range(12):
+        for lab, run in variants.items():
+            t0 = _t.perf_counter()
+            jax.block_until_ready(run(n_short))
+            t1 = _t.perf_counter()
+            jax.block_until_ready(run(n_long))
+            t2 = _t.perf_counter()
+            times[lab]["s"].append(t1 - t0)
+            times[lab]["l"].append(t2 - t1)
+    span = n_long - n_short
+    for lab in variants:
+        s, l = times[lab]["s"], times[lab]["l"]
+        slope = (min(l) - min(s)) / span
+        med = (sorted(l)[len(l) // 2] - sorted(s)[len(s) // 2]) / span
+        tag = "  [BELOW FLOOR — contaminated]" if slope < floor * 0.98 else ""
+        print(
+            f"{lab:6s}: slope(min) {slope * 1e6:6.1f} us/step  "
+            f"slope(median) {med * 1e6:6.1f}  "
+            f"long_min {min(l) * 1e3:7.1f} ms{tag}",
+            flush=True,
+        )
+
+
+def prefillsweep():
+    """Prefill dequant+matmul geometry sweep at the bench shape (2048³)
+    toward the ≥0.90-of-MXU-peak bar (VERDICT r4 #6). The dequant convert
+    runs once per (m, n, k) TILE, so its cost scales with M/block_m:
+    at bm=512 each W tile converts 4x at M=2048 — est. ~12 us of VPU
+    convert vs 87 us of MXU dot ≈ the whole 13-15% gap. Variants:
+    larger bm (fewer converts), narrower bn to fit the f32 acc in VMEM,
+    and the int8→bf16 direct convert re-measured at today's Mosaic."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rten_tpu.kernels.quant_matmul import (
+        quant_matmul_int8,
+        quantize_weights_int8,
+    )
+    from rten_tpu.utils.bench import marginal_step_time
+
+    n = 2048
+    rng = np.random.default_rng(1)
+    a0 = jnp.asarray(
+        rng.standard_normal((n, n)).astype(np.float32).astype(jnp.bfloat16)
+    )
+    qw, qs = quantize_weights_int8(rng.standard_normal((n, n)).astype(np.float32))
+    qd, sd = jnp.asarray(qw), jnp.asarray(qs)
+
+    def mk(**kw):
+        @functools.partial(jax.jit, static_argnums=0)
+        def chain(steps):
+            def body(c, _):
+                return quant_matmul_int8(c, qd, sd, **kw).astype(jnp.bfloat16), None
+
+            return jax.lax.scan(body, a0, None, length=steps)[0]
+
+        return chain
+
+    variants = {
+        "bm512-bn2048-bk512 (default)": mk(),
+        "bm1024-bn1024-bk512": mk(block_m=1024, block_n=1024),
+        "bm2048-bn512-bk512": mk(block_m=2048, block_n=512),
+        "bm2048-bn1024-bk512": mk(block_m=2048, block_n=1024),
+        "bm1024-bn2048-bk512": mk(block_m=1024, block_n=2048),
+        "bm512-bn2048-direct": mk(w_convert="direct"),
+        "bm2048-bn1024-direct": mk(block_m=2048, block_n=1024, w_convert="direct"),
+        "bm1024-bn1024-bk1024": mk(block_m=1024, block_n=1024, block_k=1024),
+    }
+    flops = 2 * n**3
+    results = {lab: [] for lab in variants}
+    for rep in range(3):
+        for lab, chain in variants.items():
+            try:
+                results[lab].append(marginal_step_time(chain, 32, 256, trials=4))
+            except Exception as e:
+                results[lab] = [float("inf")]
+                print(f"{lab}: FAILED {type(e).__name__}: {str(e)[:100]}", flush=True)
+                break
+    for lab, ts in results.items():
+        t = min(ts)
+        if t == float("inf"):
+            continue
+        print(
+            f"{lab:30s}: {t * 1e6:6.1f} us  {flops / t / 1e12:6.1f} TF/s "
+            f"({flops / t / 1e12 / 197:.3f} of peak)  "
+            f"reps={[round(x * 1e6, 1) for x in ts]}",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     import os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -467,17 +467,24 @@ def _q_epilogue(acc_ref, s_ref, b_ref, o_ref, *, activation):
         o_ref[:, sl] = _ACTIVATIONS[activation](out).astype(o_ref.dtype)
 
 
-def _q_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, activation, n_k):
+def _q_kernel(
+    x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, activation, n_k,
+    w_convert="f32",
+):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     # Dequantize the int8 tile right before the MXU; accumulate raw (scale
     # applied once in the epilogue). The int8→f32→bf16 double conversion is
-    # deliberate: Mosaic lowers it faster than a direct int8→bf16 retile
-    # (measured 123 vs 87 TF/s at 1024³ on v5e).
+    # the measured default: Mosaic lowers it faster than a direct int8→bf16
+    # retile (123 vs 87 TF/s at 1024³ on v5e when first measured;
+    # w_convert="direct" keeps the one-hop variant A/B-able as Mosaic ages).
     w_blk = w_ref[0] if w_ref.ndim == 3 else w_ref[...]
-    w_tile = w_blk.astype(jnp.float32).astype(x_ref.dtype)
+    if w_convert == "direct":
+        w_tile = w_blk.astype(x_ref.dtype)
+    else:
+        w_tile = w_blk.astype(jnp.float32).astype(x_ref.dtype)
     acc_ref[...] += jnp.dot(
         x_ref[...], w_tile, preferred_element_type=jnp.float32
     )
@@ -491,7 +498,7 @@ def _q_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, acc_ref, *, activation, n_k):
     jax.jit,
     static_argnames=(
         "activation", "block_m", "block_n", "block_k", "out_dtype",
-        "interpret",
+        "interpret", "w_convert",
     ),
 )
 def quant_matmul_int8(
@@ -506,6 +513,7 @@ def quant_matmul_int8(
     block_k: int = 512,
     out_dtype=None,
     interpret: bool = False,
+    w_convert: str = "f32",  # "f32" (int8->f32->bf16) | "direct" (int8->bf16)
 ):
     """out = activation((x @ w_q) * scales + bias).
 
@@ -581,7 +589,9 @@ def quant_matmul_int8(
         bp = _pad_to(bias.reshape(1, -1), block_n, 1)
         in_specs.append(pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)))
         args.append(bp)
-        kernel = functools.partial(base_kernel, activation=activation, n_k=n_k)
+        kernel = functools.partial(
+            base_kernel, activation=activation, n_k=n_k, w_convert=w_convert
+        )
     else:
         kernel = functools.partial(
             lambda x_ref, w_ref, s_ref, o_ref, *scr, _bk=base_kernel, **kw: _bk(
@@ -589,6 +599,7 @@ def quant_matmul_int8(
             ),
             activation=activation,
             n_k=n_k,
+            w_convert=w_convert,
         )
 
     out = pl.pallas_call(

@@ -940,3 +940,17 @@ def test_quantize_params_tiled_llama_class_parity(rng):
         qt, cfg, c1, prompt[:, -1:], jax.random.PRNGKey(1), n_steps=6
     )
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+
+
+def test_quant_matmul_w_convert_direct_parity(rng):
+    """w_convert="direct" (int8->bf16 one-hop dequant) must match the default
+    double-conversion numerically (int8 values are exact in bf16)."""
+    from rten_tpu.kernels.quant_matmul import quant_matmul_int8, quantize_weights_int8
+
+    x = jnp.asarray(rng.standard_normal((256, 256)).astype(np.float32))
+    qw, qs = quantize_weights_int8(rng.standard_normal((256, 512)).astype(np.float32))
+    a = quant_matmul_int8(x, jnp.asarray(qw), jnp.asarray(qs), interpret=True)
+    b = quant_matmul_int8(
+        x, jnp.asarray(qw), jnp.asarray(qs), interpret=True, w_convert="direct"
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
