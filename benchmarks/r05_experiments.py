@@ -563,11 +563,22 @@ def megaab():
     prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 64)).astype(np.int32))
     n_short, n_long = 64, 512
 
-    weight_bytes = sum(
-        x.nbytes
-        for x in jax.tree.leaves(qp)
-        if hasattr(x, "nbytes") and x.ndim >= 2
-    )
+    def stream_bytes(node):
+        # bench.py _quant_stream_bytes: embeddings are GATHERED (one row),
+        # not streamed — excluding them is what makes the floor physical.
+        if isinstance(node, dict):
+            if set(node) == {"q", "s"}:
+                return node["q"].size + node["s"].size * 4
+            return sum(
+                stream_bytes(v)
+                for k, v in node.items()
+                if k not in ("tok_emb", "pos_emb")
+            )
+        if isinstance(node, list):
+            return sum(stream_bytes(v) for v in node)
+        return node.size * node.dtype.itemsize
+
+    weight_bytes = stream_bytes(qp)
     kv_prefix = -(-(64 + n_long // 2) // 256) * 256
     kv_bytes = 2 * cfg.n_layers * cfg.kv_heads * kv_prefix * cfg.head_dim * 2
     floor = (weight_bytes + kv_bytes) / 830e9
@@ -689,6 +700,90 @@ def prefillsweep():
             f"{lab:30s}: {t * 1e6:6.1f} us  {flops / t / 1e12:6.1f} TF/s "
             f"({flops / t / 1e12 / 197:.3f} of peak)  "
             f"reps={[round(x * 1e6, 1) for x in ts]}",
+            flush=True,
+        )
+
+
+def msaab():
+    """MSA-prefetch A/B: the profiler showed ~60 us/step of exposed
+    slice-done/copy-done waits — XLA memory-space assignment re-prefetching
+    the loop-invariant int8 weights into VMEM every scan iteration (85 MB
+    total, far over VMEM, so it thrashes). Variants: {plain, mega} x
+    {unpinned, RTEN_PIN_HBM=1}. Trace-cache busted per variant via distinct
+    n_steps (same 448-step span, so slopes are comparable)."""
+    import os
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rten_tpu.models import decoder
+
+    cfg = decoder.DecoderConfig(dtype=jnp.bfloat16, max_seq=1024)
+    qp = jax.device_put(
+        decoder.quantize_params_int8(decoder.init_params(jax.random.PRNGKey(0), cfg))
+    )
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 64)).astype(np.int32))
+
+    qp_noslab = {k: v for k, v in qp.items() if k != "slabs"}
+
+    def make(fuse_mode, params, off):
+        def run(steps):
+            os.environ["RTEN_DECODE_FUSE"] = fuse_mode
+            cache = decoder.init_cache(cfg, 1, 1024)
+            logits, cache = decoder.prefill(params, cfg, prompt, cache)
+            first = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            toks, _ = decoder.generate_scan(
+                params, cfg, cache, first, jax.random.PRNGKey(1),
+                n_steps=steps + off,
+            )
+            return toks
+
+        return run
+
+    variants = {
+        "plain": make("1", qp_noslab, 0),
+        "mega-slab": make("mega", qp, 1),
+        "mega-noslab": make("mega", qp_noslab, 2),
+    }
+    n_short, n_long, span = 64, 512, 448
+    toks = {}
+    for lab, run in list(variants.items()):
+        try:
+            t0 = _t.perf_counter()
+            toks[lab] = np.asarray(jax.block_until_ready(run(n_short)))[:, :n_short]
+            t1 = _t.perf_counter()
+            jax.block_until_ready(run(n_long))
+            print(
+                f"warm {lab}: short {t1 - t0:.1f}s long "
+                f"{_t.perf_counter() - t1:.1f}s",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"{lab}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
+            variants = {k: v for k, v in variants.items() if k != lab}
+    ref = toks.get("plain")
+    for lab, tk in toks.items():
+        print(f"tokens {lab} == plain: {bool((tk == ref).all())}", flush=True)
+
+    times = {lab: {"s": [], "l": []} for lab in variants}
+    for rep in range(12):
+        for lab, run in variants.items():
+            t0 = _t.perf_counter()
+            jax.block_until_ready(run(n_short))
+            t1 = _t.perf_counter()
+            jax.block_until_ready(run(n_long))
+            t2 = _t.perf_counter()
+            times[lab]["s"].append(t1 - t0)
+            times[lab]["l"].append(t2 - t1)
+    for lab in variants:
+        s, l = times[lab]["s"], times[lab]["l"]
+        slope = (min(l) - min(s)) / span
+        med = (sorted(l)[len(l) // 2] - sorted(s)[len(s) // 2]) / span
+        print(
+            f"{lab:10s}: slope(min) {slope * 1e6:6.1f} us/step  "
+            f"slope(median) {med * 1e6:6.1f}  long_min {min(l) * 1e3:7.1f} ms",
             flush=True,
         )
 

@@ -123,12 +123,28 @@ def _decode_attn_kernel(
         # ~6.5 MB weight DMA BEFORE the kernel body (Pallas waits for all
         # blocks), recreating exactly the per-kernel exposure this fusion
         # removes.
+        # Weights may arrive as per-layer [K, N] matrices OR whole-stack
+        # [L, K, N] slabs (layer_idx picks the layer). Slabs are the
+        # production layout: at GPT-2-small scale XLA's memory-space
+        # assignment re-prefetches per-layer matrices into VMEM every scan
+        # iteration (85 MB of loop-invariant weights >> VMEM — profiled at
+        # ~60 us/step of exposed copy waits); a 28 MB slab is unprefetchable,
+        # so the weights stream HERE, overlapped under the attention loop.
+        li = mega["layer_idx"]
+
+        def _wsrc(ref):
+            return ref.at[li] if ref.ndim == 3 else ref
+
         wsem = mega["wsem"]
-        pltpu.make_async_copy(mega["wu_hbm"], mega["wu_buf"], wsem.at[0]).start()
-        pltpu.make_async_copy(mega["wd_hbm"], mega["wd_buf"], wsem.at[1]).start()
+        pltpu.make_async_copy(
+            _wsrc(mega["wu_hbm"]), mega["wu_buf"], wsem.at[0]
+        ).start()
+        pltpu.make_async_copy(
+            _wsrc(mega["wd_hbm"]), mega["wd_buf"], wsem.at[1]
+        ).start()
         if mega.get("wq_hbm") is not None:
             pltpu.make_async_copy(
-                mega["wq_hbm"], mega["wq_buf"], wsem.at[2]
+                _wsrc(mega["wq_hbm"]), mega["wq_buf"], wsem.at[2]
             ).start()
     length = kv_len_ref[b]
     n_blocks = pl.cdiv(length, block_s)
@@ -695,6 +711,7 @@ def mega_block_supported(
         "activation",
         "norm",
         "norm_eps",
+        "layer_idx",
     ),
 )
 def decode_attention(
@@ -724,6 +741,8 @@ def decode_attention(
     activation: str | None = "gelu",
     norm: str | None = "layernorm",
     norm_eps: float = 1e-5,
+    layer_idx: int = 0,  # static; selects the layer when mlp/next_qkv
+    #                      weights are whole-stack [L, K, N] slabs
 ):
     """softmax(q @ kᵀ · scale) @ v over the valid cache prefix.
 
@@ -982,8 +1001,9 @@ def decode_attention(
     n_q = 0
     if megafused:
         w_up_q, up_scales, w_down_q, down_scales, b_up, b_down, ns, nb = mlp
-        ff = w_up_q.shape[1]
-        assert w_up_q.shape == (dm, ff) and w_down_q.shape == (ff, dm)
+        ff = w_up_q.shape[-1]
+        assert w_up_q.shape[-2:] == (dm, ff) and w_down_q.shape[-2:] == (ff, dm)
+        assert w_up_q.ndim == w_down_q.ndim  # both per-layer or both slabs
         # Weight matrices stay in HBM (ANY): the kernel streams them into
         # VMEM scratch under the attention loop. Small per-channel params
         # ride in as ordinary VMEM blocks.
@@ -1009,8 +1029,8 @@ def decode_attention(
                 mega_have.append(name)
         if next_qkv is not None:
             w_qkv, sq, bq, qns, qnb = next_qkv
-            n_q = w_qkv.shape[1]
-            assert w_qkv.shape == (dm, n_q)
+            n_q = w_qkv.shape[-1]
+            assert w_qkv.shape[-2:] == (dm, n_q)
             args.append(w_qkv)
             in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
             mega_have.append("wq_hbm")
@@ -1052,8 +1072,8 @@ def decode_attention(
         out_specs = (*out_specs, pl.BlockSpec((b, n_q), lambda bi, *_: (0, 0))) if isinstance(out_specs, tuple) else (out_specs, pl.BlockSpec((b, n_q), lambda bi, *_: (0, 0)))
     if megafused:
         scratch += [
-            pltpu.VMEM(w_up_q.shape, w_up_q.dtype),
-            pltpu.VMEM(w_down_q.shape, w_down_q.dtype),
+            pltpu.VMEM((dm, ff), w_up_q.dtype),
+            pltpu.VMEM((ff, dm), w_down_q.dtype),
         ]
         if next_qkv is not None:
             scratch.append(pltpu.VMEM((dm, n_q), w_qkv.dtype))
@@ -1089,6 +1109,7 @@ def decode_attention(
                 for name in ("sq_ref", "bq_ref", "qns_ref", "qnb_ref"):
                     if name in mega_have:
                         mega[name] = rest.pop(0)
+            mega["layer_idx"] = layer_idx
             # Mega scratch rides at the TAIL of the scratch list:
             # [..., wu_buf, wd_buf, (wq_buf), wsem].
             mega["wsem"] = rest.pop()

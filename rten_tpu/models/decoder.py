@@ -283,7 +283,57 @@ def quantize_params_int8(
 
     if tile_bn:
         _tile_gemv_packs(out, tile_bn)
+    build_decode_slabs(out)
     return out
+
+
+def build_decode_slabs(qparams: dict, max_bytes: int | None = None) -> dict:
+    """Stack every layer's w_up / w_down / wqkv int8 matrices into whole-
+    stack ``[L, K, N]`` slabs (``qparams["slabs"]``), kept ALONGSIDE the
+    per-layer packs.
+
+    Why: the megakernel decode path (RTEN_DECODE_FUSE=mega) streams these
+    from HBM in-kernel. As per-layer matrices (1.8-2.4 MB each) XLA's
+    memory-space assignment "helpfully" re-prefetches them into VMEM every
+    scan iteration — 85 MB of loop-invariant weights cannot stay resident,
+    so the core stalls ~60 us/step on exposed copy waits (profiled,
+    BENCH r5 notes). A 20-30 MB slab is unprefetchable; the kernel's own
+    double-buffered DMA overlaps the stream under the attention loop.
+
+    Slabs duplicate the layer weights in HBM (~85 MB on GPT-2-small);
+    capped at RTEN_MEGA_SLABS_MAX bytes (default 2 GiB) — set 0 to skip."""
+    import os
+
+    if max_bytes is None:
+        try:
+            max_bytes = int(os.environ.get("RTEN_MEGA_SLABS_MAX", str(2 << 30)))
+        except ValueError:
+            max_bytes = 2 << 30
+    layers = qparams.get("layers") or []
+    if not layers or max_bytes <= 0:
+        return qparams
+    slabs = {}
+    for key, members in (
+        ("w_up", layers),
+        ("w_down", layers),
+        # layer li's megakernel computes layer li+1's qkv (next_qkv slot):
+        # the qkv slab is SHIFTED so one layer_idx addresses all three.
+        ("wqkv_next", layers[1:]),
+    ):
+        packs = [l.get(key.replace("_next", "")) for l in members]
+        if not packs or not all(
+            isinstance(p, dict) and p.get("q") is not None and p["q"].ndim == 2
+            for p in packs
+        ):
+            continue
+        shapes = {p["q"].shape for p in packs}
+        if len(shapes) != 1:
+            continue
+        slabs[key] = jnp.stack([p["q"] for p in packs])
+    total = sum(int(s.size) for s in slabs.values())
+    if "w_up" in slabs and "w_down" in slabs and total <= max_bytes:
+        qparams["slabs"] = slabs
+    return qparams
 
 
 def _tile_gemv_packs(out: dict, tile_bn: int) -> None:
@@ -561,6 +611,11 @@ def forward(
     fuse = dispatch.on_tpu() and m_rows <= 8 and _fuse_mode != "0"
     fuse_norm = fuse and _fuse_mode != "epi"
 
+    # (An RTEN_PIN_HBM experiment using pltpu.with_memory_space_constraint
+    # was tried against XLA's per-iteration VMEM weight re-prefetch and
+    # fails at the pallas jit boundary — whole-stack weight slabs defeat
+    # the prefetch by size instead; see build_decode_slabs.)
+
     def _fproj(
         src, w, bias=None, *, activation=None, norm_p=None, residual=None, out_dim=None
     ):
@@ -809,6 +864,10 @@ def forward(
                     if li + 1 < len(params["layers"])
                     else None
                 )
+                # Whole-stack [L, K, N] slabs when packed (production layout
+                # — defeats XLA's per-iteration VMEM re-prefetch of the
+                # loop-invariant weights; see build_decode_slabs).
+                slabs = params.get("slabs") or {}
                 qkv_dim = (h + 2 * hk) * hd
                 if (
                     nxt is not None
@@ -816,7 +875,9 @@ def forward(
                     and nxt["wqkv"]["q"].shape == (cfg.d_model, qkv_dim)
                 ):
                     mega_next = (
-                        nxt["wqkv"]["q"],
+                        slabs["wqkv_next"]
+                        if "wqkv_next" in slabs
+                        else nxt["wqkv"]["q"],
                         nxt["wqkv"]["s"],
                         nxt.get("bqkv"),
                         nxt["ln1"]["scale"],
@@ -832,9 +893,11 @@ def forward(
                     kv_bytes=cache["k"][li].dtype.itemsize,
                 ):
                     mega_mlp = (
-                        layer["w_up"]["q"],
+                        slabs["w_up"] if "w_up" in slabs else layer["w_up"]["q"],
                         layer["w_up"]["s"],
-                        layer["w_down"]["q"],
+                        slabs["w_down"]
+                        if "w_down" in slabs
+                        else layer["w_down"]["q"],
                         layer["w_down"]["s"],
                         layer.get("b_up"),
                         layer.get("b_down"),
@@ -862,6 +925,7 @@ def forward(
                         activation=cfg.activation,
                         norm=cfg.norm,
                         norm_eps=cfg.layer_norm_eps,
+                        layer_idx=li,
                     )
                     if mega_mlp is not None
                     else {}

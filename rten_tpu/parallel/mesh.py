@@ -71,6 +71,12 @@ def decoder_param_specs(params: dict, mesh: Mesh | None = None) -> dict:
         spec["lm_head"] = _mq(params["lm_head"], P(None, "model"), "model")
     if "lm_head_q" in params:
         spec["lm_head_q"] = _mq(params["lm_head_q"], P(None, "model"), "model")
+    if "slabs" in params:
+        # Whole-stack [L, K, N] megakernel slabs (decoder.build_decode_slabs)
+        # serve the SINGLE-chip decode fast path; under a mesh they ride
+        # replicated (TP serving uses fuse=False packs, which never build
+        # slabs).
+        spec["slabs"] = {k: P(None, None, None) for k in params["slabs"]}
     return spec
 
 

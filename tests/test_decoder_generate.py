@@ -479,6 +479,11 @@ def test_decode_fuse_mega_matches_plain(monkeypatch):
     assert not mega_calls  # default path never passes mlp=
     l_mega, c_mega = one_step("mega")
     assert len(mega_calls) == cfg.n_layers  # megakernel engaged every layer
+    # ... and through the whole-stack [L, K, N] slab layout with per-call
+    # layer_idx (build_decode_slabs default packing).
+    assert mega_calls[0]["mlp"][0].ndim == 3
+    assert [kw["layer_idx"] for kw in mega_calls] == list(range(cfg.n_layers))
+    assert mega_calls[0]["next_qkv"][0].ndim == 3  # shifted wqkv_next slab
     np.testing.assert_allclose(l_mega, l_plain, rtol=2e-4, atol=2e-4)
     for a, b in zip(c_plain["k"], c_mega["k"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

@@ -587,6 +587,27 @@ def test_decode_attention_mega_block_fusion(rng):
     )
     np.testing.assert_allclose(np.asarray(x2), np.asarray(ref_x), rtol=1e-5, atol=1e-5)
 
+    # Whole-stack [L, K, N] weight slabs + layer_idx (the production layout:
+    # big enough that XLA memory-space assignment can't prefetch them) must
+    # match the per-layer matrices exactly. Real weights live at layer 1;
+    # layer 0 is garbage that must NOT be read.
+    garbage = (rng.integers(-127, 127, wu_q.shape)).astype(np.int8)
+    wu_slab = np.stack([garbage, wu_q])
+    wd_slab = np.stack([rng.integers(-127, 127, wd_q.shape).astype(np.int8), wd_q])
+    wq_slab = np.stack([rng.integers(-127, 127, wq_q.shape).astype(np.int8), wq_q])
+    xs, qkvs, k4, v4 = decode_attention(
+        J(q), J(kc), J(vc), J(lens), J(kn), J(vn),
+        J(wo_q), J(wo_s), J(wo_b), J(resid),
+        mlp=(J(wu_slab), J(wu_s), J(wd_slab), J(wd_s), J(b_up), J(b_down), J(ns), J(nb)),
+        next_qkv=(J(wq_slab), J(wq_s), J(bq), J(qns), J(qnb)),
+        activation="gelu", norm="layernorm", norm_eps=1e-5,
+        block_s=128, interpret=True, layer_idx=1,
+    )
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref_x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(qkvs), np.asarray(ref_qkv), rtol=1e-5, atol=1e-5
+    )
+
 
 def test_quant_matmul_int8_multiblock_bias_act(rng):
     """Multi-K-block accumulation with bias/activation epilogue (the
