@@ -788,6 +788,81 @@ def msaab():
         )
 
 
+def msaflags():
+    """XLA-flag sweep against the MSA per-iteration weight re-prefetch
+    (the 0adb1d0 profile: ~60 us/step of exposed copy-done waits from XLA
+    memory-space assignment thrashing 85 MB of loop-invariant int8 weights
+    through VMEM).  The megakernel/slab route measured WORSE than plain
+    (msaab: 265-282 vs 240 us/step), so attack the prefetcher directly:
+    each variant compiles the bench-exact generate_scan under different
+    XLA_FLAGS in a FRESH subprocess (flags are read once at backend init).
+    """
+    import subprocess
+
+    child = r"""
+import os, sys
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp, numpy as np
+from rten_tpu.models import decoder
+from rten_tpu.utils.bench import marginal_step_time
+
+cfg = decoder.DecoderConfig(dtype=jnp.bfloat16, max_seq=1024)
+qp = jax.device_put(
+    decoder.quantize_params_int8(decoder.init_params(jax.random.PRNGKey(0), cfg))
+)
+qp = {k: v for k, v in qp.items() if k != "slabs"}
+rng = np.random.default_rng(0)
+prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 64)).astype(np.int32))
+
+def run(steps):
+    cache = decoder.init_cache(cfg, 1, 768)
+    logits, cache = decoder.prefill(qp, cfg, prompt, cache)
+    first = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+    toks, _ = decoder.generate_scan(
+        qp, cfg, cache, first, jax.random.PRNGKey(1), n_steps=steps
+    )
+    return toks
+
+t = min(marginal_step_time(run, 64, 512, trials=4) for _ in range(2))
+print(f"RESULT {t * 1e6:.1f} us/step ({1 / t:.0f} tok/s)", flush=True)
+"""
+    # TPU-backend flags are libtpu-internal: they parse from
+    # LIBTPU_INIT_ARGS, not XLA_FLAGS (XLA_FLAGS' client-side parser
+    # rejects them as unknown).
+    variants = {
+        "baseline": "",
+        "while-count-1": "--xla_tpu_memory_space_assignment_while_execution_count=1",
+        "mblo-off": "--xla_tpu_memory_bound_loop_optimizer_options=enabled:false",
+        "sliced1": "--xla_tpu_sliced_prefetch_max_slices=1",
+        "use-copy-ratio": "--xla_tpu_msa_inefficient_use_to_copy_ratio=4.0",
+        "combo": (
+            "--xla_tpu_memory_space_assignment_while_execution_count=1 "
+            "--xla_tpu_memory_bound_loop_optimizer_options=enabled:false "
+            "--xla_tpu_sliced_prefetch_max_slices=1"
+        ),
+    }
+    for rep in range(2):
+        for lab, flags in variants.items():
+            env = dict(os.environ)
+            if flags:
+                env["LIBTPU_INIT_ARGS"] = (
+                    env.get("LIBTPU_INIT_ARGS", "") + " " + flags
+                ).strip()
+            env["JAX_ENABLE_COMPILATION_CACHE"] = "false"  # flags change codegen
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-c", child],
+                    capture_output=True, text=True, timeout=600, env=env,
+                )
+                line = next(
+                    (l for l in proc.stdout.splitlines() if l.startswith("RESULT")),
+                    f"rc={proc.returncode} {proc.stderr[-200:]}",
+                )
+            except subprocess.TimeoutExpired:
+                line = "TIMEOUT"
+            print(f"rep{rep} {lab:16s}: {line}", flush=True)
+
+
 if __name__ == "__main__":
     import os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
