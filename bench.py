@@ -242,6 +242,7 @@ def child_main() -> None:
                 "batched_attn(snapshot)": getattr(_da, "_BATCHED_ATTN_DEFAULT", None),
                 "decode_fuse(env)": os.environ.get("RTEN_DECODE_FUSE"),
                 "ed_fuse(snapshot)": getattr(_ed, "_ED_FUSE_DEFAULT", None),
+                "libtpu_init_args": os.environ.get("LIBTPU_INIT_ARGS"),
             },
         }
         try:
@@ -251,9 +252,17 @@ def child_main() -> None:
             txt = decoder.generate_scan.lower(
                 params, cfg, cache, first, jax.random.PRNGKey(0), n_steps=n_long
             ).compile().as_text()
+            # Mosaic kernels surface as custom-calls whose HLO op NAME is the
+            # pallas kernel function (e.g. "%quant_mlp_int8.72 = ...
+            # custom-call(..."); strip the ".NN" uniquifier and count.
             kernels = sorted(
                 set(re.findall(r'"kernel_name":\s*"([^"]+)"', txt))
-                | set(re.findall(r"kernel_name=([A-Za-z0-9_]+)", txt))
+                | {
+                    name.rstrip("0123456789").rstrip(".")
+                    for name in re.findall(
+                        r"%([A-Za-z_][\w.]*) = [^\n=]*custom-call", txt
+                    )
+                }
             )
             prov["pallas_kernels"] = kernels
             prov["hlo_copies"] = len(re.findall(r"\n\s*\S+ = \S+? copy\(", txt))

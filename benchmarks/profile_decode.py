@@ -49,12 +49,16 @@ def capture(fuse_mode: str, n_steps: int = 256, tag: str = "") -> str:
         )
         return toks
 
+    print(f"[prof] compiling fuse_mode={fuse_mode}...", flush=True)
     jax.block_until_ready(run(n_steps))  # compile + warm
+    print("[prof] compiled; warming...", flush=True)
     logdir = f"/tmp/rten_prof_{tag or fuse_mode}"
     os.system(f"rm -rf {logdir}")
     jax.block_until_ready(run(n_steps))
+    print("[prof] tracing...", flush=True)
     with jax.profiler.trace(logdir):
         jax.block_until_ready(run(n_steps))
+    print("[prof] trace done", flush=True)
     return logdir
 
 

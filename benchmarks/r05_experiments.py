@@ -684,18 +684,21 @@ def prefillsweep():
     }
     flops = 2 * n**3
     results = {lab: [] for lab in variants}
+    dead = set()
     for rep in range(3):
         for lab, chain in variants.items():
+            if lab in dead:
+                continue
             try:
                 results[lab].append(marginal_step_time(chain, 32, 256, trials=4))
             except Exception as e:
-                results[lab] = [float("inf")]
+                dead.add(lab)
                 print(f"{lab}: FAILED {type(e).__name__}: {str(e)[:100]}", flush=True)
-                break
+        print(f"rep {rep} done", flush=True)
     for lab, ts in results.items():
-        t = min(ts)
-        if t == float("inf"):
+        if not ts:
             continue
+        t = min(ts)
         print(
             f"{lab:30s}: {t * 1e6:6.1f} us  {flops / t / 1e12:6.1f} TF/s "
             f"({flops / t / 1e12 / 197:.3f} of peak)  "
@@ -861,6 +864,184 @@ print(f"RESULT {t * 1e6:.1f} us/step ({1 / t:.0f} tok/s)", flush=True)
             except subprocess.TimeoutExpired:
                 line = "TIMEOUT"
             print(f"rep{rep} {lab:16s}: {line}", flush=True)
+
+
+def msaconfirm():
+    """Confirmation A/B for the msaflags rep0 signal (baseline 247.4 vs
+    combo 233.0 us/step): alternate fresh baseline/combo subprocesses 3x
+    each (ABABAB) so chip weather hits both arms equally. Each child prints
+    one slope measurement over the standard 64/512 window."""
+    import subprocess
+
+    child = r"""
+import os, sys
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp, numpy as np
+from rten_tpu.models import decoder
+from rten_tpu.utils.bench import marginal_step_time
+
+cfg = decoder.DecoderConfig(dtype=jnp.bfloat16, max_seq=1024)
+qp = jax.device_put(
+    decoder.quantize_params_int8(decoder.init_params(jax.random.PRNGKey(0), cfg))
+)
+qp = {k: v for k, v in qp.items() if k != "slabs"}
+rng = np.random.default_rng(0)
+prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 64)).astype(np.int32))
+
+def run(steps):
+    cache = decoder.init_cache(cfg, 1, 768)
+    logits, cache = decoder.prefill(qp, cfg, prompt, cache)
+    first = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+    toks, _ = decoder.generate_scan(
+        qp, cfg, cache, first, jax.random.PRNGKey(1), n_steps=steps
+    )
+    return toks
+
+t = min(marginal_step_time(run, 64, 512, trials=4) for _ in range(2))
+print(f"RESULT {t * 1e6:.1f} us/step ({1 / t:.0f} tok/s)", flush=True)
+"""
+    combo = (
+        "--xla_tpu_memory_space_assignment_while_execution_count=1 "
+        "--xla_tpu_memory_bound_loop_optimizer_options=enabled:false "
+        "--xla_tpu_sliced_prefetch_max_slices=1"
+    )
+    for rep in range(3):
+        for lab, flags in (("baseline", ""), ("combo", combo)):
+            env = dict(os.environ)
+            if flags:
+                env["LIBTPU_INIT_ARGS"] = (
+                    env.get("LIBTPU_INIT_ARGS", "") + " " + flags
+                ).strip()
+            env["JAX_ENABLE_COMPILATION_CACHE"] = "false"
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-c", child],
+                    capture_output=True, text=True, timeout=900, env=env,
+                )
+                line = next(
+                    (l for l in proc.stdout.splitlines() if l.startswith("RESULT")),
+                    f"rc={proc.returncode} {proc.stderr[-200:]}",
+                )
+            except subprocess.TimeoutExpired:
+                line = "TIMEOUT"
+            print(f"rep{rep} {lab:9s}: {line}", flush=True)
+
+
+def convhops():
+    """Convert-hop + wo-hoist A/B on the decode path (r05 XPlane trace: the
+    step is kernel-critical-path-bound and the kernels are convert-bound
+    once MSA stages their weights in VMEM).
+
+    Part 1 — isolated lm_head GEMV chain (tiled-1024, fused norm+argmax,
+    production shape): w_convert direct vs f32, interleaved in-process.
+    Part 2 — full generate_scan step: module default patched per trace
+    (trace cache busted via the use_flash static), interleaved."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rten_tpu.kernels import quant_matmul as qm
+    from rten_tpu.kernels.quant_matmul import (
+        quant_gemv_int8,
+        quantize_weights_int8,
+        tile_gemv_weights,
+    )
+    from rten_tpu.models import decoder
+    from rten_tpu.utils.bench import marginal_step_time
+    import functools
+
+    k, n = 768, 51200
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((1, k)).astype(np.float32), jnp.bfloat16)
+    qw, qs = quantize_weights_int8(rng.standard_normal((k, n)).astype(np.float32))
+    t1024 = tile_gemv_weights(qw, 1024)
+    sd = jnp.asarray(qs)
+    ns = jnp.ones((k,), jnp.bfloat16)
+    nb = jnp.zeros((k,), jnp.bfloat16)
+
+    def mk(mode):
+        def fn(c):
+            out = quant_gemv_int8(
+                c, t1024, sd, argmax_n=50257, norm="layernorm",
+                norm_scale=ns, norm_bias=nb, w_convert=mode,
+            )
+            return (c + out[0].astype(jnp.bfloat16) * 0).astype(jnp.bfloat16)
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def chain(s):
+            return jax.lax.scan(lambda c, _: (fn(c), None), x0, None, length=s)[0]
+
+        return chain
+
+    chains = {m: mk(m) for m in ("direct", "f32")}
+    res = {m: [] for m in chains}
+    for rep in range(3):
+        for m, chain in chains.items():
+            res[m].append(marginal_step_time(lambda s: chain(s), 32, 256, trials=4))
+    for m, ts in res.items():
+        t = min(ts)
+        print(
+            f"lm_head {m:6s}: {t * 1e6:6.1f} us  ({k * n / t / 1e9:6.1f} GB/s)  "
+            f"reps={[round(x * 1e6, 1) for x in ts]}",
+            flush=True,
+        )
+
+    # Part 2 — full step. _W_CONVERT_DEFAULT is read at TRACE time; bust the
+    # trace cache per variant with the use_flash static so each variant's
+    # compiled program embeds ITS convert mode.
+    cfg = decoder.DecoderConfig(dtype=jnp.bfloat16, max_seq=1024)
+    qp = jax.device_put(
+        decoder.quantize_params_int8(decoder.init_params(jax.random.PRNGKey(0), cfg))
+    )
+    qp = {kk: v for kk, v in qp.items() if kk != "slabs"}
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 64)).astype(np.int32))
+    n_short, n_long = 64, 512
+
+    def make(mode, use_flash):
+        def run(steps):
+            qm._W_CONVERT_DEFAULT = mode
+            cache = decoder.init_cache(cfg, 1, 768)
+            logits, cache = decoder.prefill(qp, cfg, prompt, cache)
+            first = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            toks, _ = decoder.generate_scan(
+                qp, cfg, cache, first, jax.random.PRNGKey(1),
+                n_steps=steps, use_flash=use_flash,
+            )
+            return toks
+
+        return run
+
+    variants = {"direct": make("direct", None), "f32": make("f32", True)}
+    toks = {}
+    for lab, run in variants.items():
+        toks[lab] = np.asarray(jax.block_until_ready(run(n_short)))
+        jax.block_until_ready(run(n_long))
+    print(
+        "token equality direct==f32:",
+        bool((toks["direct"] == toks["f32"]).all()),
+        flush=True,
+    )
+    times = {lab: {"s": [], "l": []} for lab in variants}
+    for rep in range(12):
+        for lab, run in variants.items():
+            t0 = _t.perf_counter()
+            jax.block_until_ready(run(n_short))
+            t1 = _t.perf_counter()
+            jax.block_until_ready(run(n_long))
+            t2 = _t.perf_counter()
+            times[lab]["s"].append(t1 - t0)
+            times[lab]["l"].append(t2 - t1)
+    span = n_long - n_short
+    for lab in variants:
+        s, l = times[lab]["s"], times[lab]["l"]
+        slope = (min(l) - min(s)) / span
+        med = (sorted(l)[len(l) // 2] - sorted(s)[len(s) // 2]) / span
+        print(
+            f"full-step {lab:6s}: slope(min) {slope * 1e6:6.1f} us/step  "
+            f"slope(median) {med * 1e6:6.1f}  long_min {min(l) * 1e3:7.1f} ms",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -234,6 +234,13 @@ def _decode_attn_kernel(
         jnp.float32
     )  # [Hk, Gp, D]
 
+    # Hoist the fused-wo int8→f32 convert ABOVE the cache loop: it has no
+    # data dependence on the KV stream, so the VPU unpack (~0.6 MB of
+    # weights) runs while the block-0 DMA is still in flight instead of
+    # serializing after the softmax (measured as part of the ~2.5 µs/layer
+    # kernel-critical-path overhang, r05 XPlane trace).
+    wo_f32 = wo_ref[...].astype(jnp.float32) if wo_ref is not None else None
+
     def body(i, carry):
         m_prev, l_prev, acc = carry
         slot = jax.lax.rem(i, 2)
@@ -333,7 +340,7 @@ def _decode_attn_kernel(
         attn = final[:, :group, :].reshape(hk, 1, group * d)  # [Hk, 1, G·D]
         part = jax.lax.dot_general(
             attn,
-            wo_ref[...].astype(jnp.float32),
+            wo_f32,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [Hk, 1, Dm]

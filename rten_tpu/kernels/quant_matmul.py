@@ -104,6 +104,23 @@ def _normalize_rows(x, norm, norm_eps, ns_ref, nb_ref):
     return x
 
 
+# Decode-kernel convert-hop default, snapshotted ONCE at import (same
+# contract as RTEN_BATCHED_ATTN): "direct" = one-hop int8→bf16,
+# "f32" = staged through f32. A/B-able per process via RTEN_W_CONVERT.
+_W_CONVERT_DEFAULT = os.environ.get("RTEN_W_CONVERT", "direct")
+
+
+def _wconv(w_blk, dot_dtype, mode):
+    """int8 weight → MXU dtype. "direct" is one hop; "f32" staged through
+    f32 first — Mosaic has historically lowered the two variants with very
+    different VPU cost (123 vs 87 TF/s on the prefill kernel when first
+    measured), and the decode kernels are convert-bound once MSA has staged
+    their weights in VMEM (r05 XPlane trace), so both stay A/B-able."""
+    if mode == "f32" and dot_dtype != jnp.float32:
+        return w_blk.astype(jnp.float32).astype(dot_dtype)
+    return w_blk.astype(dot_dtype)
+
+
 def _gemv_epilogue(
     out, j, b_ref, r_ref, o_ref, amax_scr, aarg_scr, *, activation, argmax_n
 ):
@@ -163,6 +180,7 @@ def _gemv_kernel(
     norm,
     norm_eps,
     argmax_n=None,
+    w_convert="direct",
 ):
     # Whole-K tile: no accumulator loop. The int8→f32 conversion feeds the
     # MXU directly; at M=8 the matmul is trivially cheap and the kernel is
@@ -189,7 +207,7 @@ def _gemv_kernel(
     # on wide stripes.
     dot_dtype = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
     w_blk = w_ref[0] if w_ref.ndim == 3 else w_ref[...]
-    w = w_blk.astype(dot_dtype)
+    w = _wconv(w_blk, dot_dtype, w_convert)
     acc = jnp.dot(x.astype(dot_dtype), w, preferred_element_type=jnp.float32)
     out = acc * s_ref[...]
     _gemv_epilogue(
@@ -218,6 +236,7 @@ def _gemv_kernel_kblocked(
     argmax_n=None,
     n_k,
     bk,
+    w_convert="f32",
 ):
     """K-blocked GEMV: streams the int8 matrix in [block_k, block_n] tiles.
     The DMA rate through a BlockSpec pipeline is geometry-dependent
@@ -243,7 +262,7 @@ def _gemv_kernel_kblocked(
 
     dot_dtype = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
     w_blk = w_ref[0] if w_ref.ndim == 3 else w_ref[...]
-    w = w_blk.astype(jnp.float32).astype(dot_dtype)
+    w = _wconv(w_blk, dot_dtype, w_convert)
     acc_ref[...] += jnp.dot(
         xn_scr[kk].astype(dot_dtype), w, preferred_element_type=jnp.float32
     )
@@ -261,7 +280,7 @@ def _gemv_kernel_kblocked(
     jax.jit,
     static_argnames=(
         "activation", "norm", "norm_eps", "block_n", "block_k", "out_dtype",
-        "argmax_n", "interpret",
+        "argmax_n", "interpret", "w_convert",
     ),
 )
 def quant_gemv_int8(
@@ -281,6 +300,7 @@ def quant_gemv_int8(
     out_dtype=None,
     argmax_n: int | None = None,  # fused greedy sampler: return int32 [M]
     interpret: bool = False,
+    w_convert: str | None = None,  # int8→MXU-dtype hops; None → RTEN_W_CONVERT
 ):
     """Decode-path GEMV for tiny M (≤8):
 
@@ -305,6 +325,7 @@ def quant_gemv_int8(
     k2, n = gemv_weight_kn(w_q)
     assert k == k2 and m <= 8, (x.shape, w_q.shape)
     out_dtype = out_dtype or x.dtype
+    w_convert = w_convert or _W_CONVERT_DEFAULT
 
     # No M padding: Mosaic handles sub-tile row blocks, and the explicit
     # pad+f32-convert used to cost one XLA fusion launch per call (the
@@ -385,13 +406,13 @@ def quant_gemv_int8(
             _gemv_kernel_kblocked(
                 x_ref, w_ref, s_ref, *named, *rest[n_opt:],
                 activation=activation, norm=norm, norm_eps=norm_eps,
-                argmax_n=argmax_n, n_k=n_k, bk=kb,
+                argmax_n=argmax_n, n_k=n_k, bk=kb, w_convert=w_convert,
             )
         else:
             _gemv_kernel(
                 x_ref, w_ref, s_ref, *named, *rest[n_opt:],
                 activation=activation, norm=norm, norm_eps=norm_eps,
-                argmax_n=argmax_n,
+                argmax_n=argmax_n, w_convert=w_convert,
             )
 
     xn_shape = (n_k, mp, kb) if kb else (mp, k)
@@ -508,7 +529,7 @@ def quant_matmul_int8(
     bias=None,
     *,
     activation: str | None = None,
-    block_m: int = 512,
+    block_m: int = 1024,
     block_n: int = 3072,
     block_k: int = 512,
     out_dtype=None,
@@ -524,8 +545,10 @@ def quant_matmul_int8(
     N stripes dominate — (512, 2048+, 512) sustains 174-181 TF/s at
     1024³-4096³ vs 142-148 for the old 512³ blocks, because each int8 W tile
     is converted once per M-pass and the VPU dequant pipelines under a
-    longer MXU dot. pick_block clamps per shape (divisor rule), so the wide
-    preference degrades gracefully for small N.
+    longer MXU dot. block_m=1024 (r05 sweep): each W tile converts half as
+    often at M=2048 — 177.1 TF/s (0.899 of nominal peak) vs 171.2 at
+    bm=512, tight reps. pick_block clamps per shape (divisor rule), so the
+    wide preference degrades gracefully for small N/M.
     """
     m, k = x.shape
     w3d = w_q.ndim == 3
@@ -659,6 +682,7 @@ def _mlp_kernel(
     activation,
     norm,
     norm_eps,
+    w_convert="direct",
 ):
     x = x_ref[...].astype(jnp.float32)
     if norm is not None:
@@ -669,13 +693,15 @@ def _mlp_kernel(
     # GPT-2-small). Scale/bias/activation math stays f32.
     dd = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
     up = jnp.dot(
-        x.astype(dd), wu_ref[...].astype(dd), preferred_element_type=jnp.float32
+        x.astype(dd), _wconv(wu_ref[...], dd, w_convert),
+        preferred_element_type=jnp.float32,
     ) * su_ref[...]
     if bu_ref is not None:
         up = up + bu_ref[...].astype(jnp.float32)
     up = _ACTIVATIONS[activation](up)
     down = jnp.dot(
-        up.astype(dd), wd_ref[...].astype(dd), preferred_element_type=jnp.float32
+        up.astype(dd), _wconv(wd_ref[...], dd, w_convert),
+        preferred_element_type=jnp.float32,
     ) * sd_ref[...]
     if bd_ref is not None:
         down = down + bd_ref[...].astype(jnp.float32)
@@ -689,7 +715,8 @@ def _mlp_kernel(
         # drops out of the per-layer decode path.
         xq = _norm_rows(down, norm, norm_eps, qns_ref, qnb_ref)
         qkv = jnp.dot(
-            xq.astype(dd), wq_ref[...].astype(dd), preferred_element_type=jnp.float32
+            xq.astype(dd), _wconv(wq_ref[...], dd, w_convert),
+            preferred_element_type=jnp.float32,
         ) * sq_ref[...]
         if bq_ref is not None:
             qkv = qkv + bq_ref[...].astype(jnp.float32)
@@ -706,7 +733,9 @@ def mlp_fused_supported(d: int, ff: int, n_qkv: int = 0) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("activation", "norm", "norm_eps", "out_dtype", "interpret"),
+    static_argnames=(
+        "activation", "norm", "norm_eps", "out_dtype", "interpret", "w_convert",
+    ),
 )
 def quant_mlp_int8(
     x,  # [M, D], M ≤ 8
@@ -727,6 +756,7 @@ def quant_mlp_int8(
     #                 next_norm_scale [D], next_norm_bias [D]|None)
     out_dtype=None,
     interpret: bool = False,
+    w_convert: str | None = None,  # int8→MXU-dtype hops; None → RTEN_W_CONVERT
 ):
     """Whole transformer-MLP decode step in ONE kernel:
 
@@ -744,6 +774,7 @@ def quant_mlp_int8(
     assert m <= 8 and w_up_q.shape == (d, ff) and w_down_q.shape == (ff, d)
     assert next_qkv is None or norm is not None, "next_qkv requires fused norms"
     out_dtype = out_dtype or x.dtype
+    w_convert = w_convert or _W_CONVERT_DEFAULT
 
     in_specs = [
         pl.BlockSpec((m, d), lambda: (0, 0)),
@@ -804,6 +835,7 @@ def quant_mlp_int8(
             opt.get("qns_ref"), opt.get("qnb_ref"),
             outs[0], outs[1] if n_outs == 2 else None,
             activation=activation, norm=norm, norm_eps=norm_eps,
+            w_convert=w_convert,
         )
 
     out_shape = jax.ShapeDtypeStruct((m, d), out_dtype)

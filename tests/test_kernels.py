@@ -142,6 +142,28 @@ def test_quant_gemv_matches_dequant(rng):
     np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=5e-2, atol=5e-2)
 
 
+def test_quant_gemv_w_convert_hops_match(rng):
+    """The convert-hop variants ("direct" one-hop vs "f32" staged) are a
+    pure lowering A/B — outputs must agree bit-for-bit in interpret mode
+    (int8 values are exact in both f32 and bf16)."""
+    from rten_tpu.kernels.quant_matmul import quant_gemv_int8, quantize_weights_int8
+
+    k, n = 256, 640
+    q, s = quantize_weights_int8(rng.standard_normal((k, n)).astype(np.float32))
+    x = jnp.asarray(
+        rng.standard_normal((1, k)).astype(np.float32), jnp.bfloat16
+    )
+    outs = [
+        quant_gemv_int8(
+            x, jnp.asarray(q), jnp.asarray(s), interpret=True, w_convert=m
+        )
+        for m in ("direct", "f32")
+    ]
+    np.testing.assert_array_equal(
+        np.asarray(outs[0], np.float32), np.asarray(outs[1], np.float32)
+    )
+
+
 def test_quant_mlp_fused_with_next_qkv(rng):
     """The whole-MLP decode kernel, including the fused NEXT-layer qkv
     projection (pre-norm → up → GELU → down → +residual, then next pre-norm
