@@ -69,6 +69,11 @@ def _prov_sig(rec: dict):
     return (
         json.dumps(prov.get("lm_head_q_shape")),
         json.dumps(prov.get("flags"), sort_keys=True),
+        # Roofline accounting version: captures taken while the slab
+        # duplicates were miscounted as streamed bytes (vs_baseline > 1)
+        # carry no roofline_v and must never win best-of-round selection
+        # against correctly-denominated captures.
+        prov.get("roofline_v"),
     )
 
 
@@ -118,10 +123,15 @@ def _best_of_round(fresh: dict) -> dict:
     return best
 
 
-def _quant_stream_bytes(node, exclude=("tok_emb", "pos_emb")):
+def _quant_stream_bytes(node, exclude=("tok_emb", "pos_emb", "slabs")):
     """Bytes a decode step streams from a params subtree: int8 payload +
     f32 scales for {"q","s"} packs, raw bytes for dense leaves; embedding
-    tables are gathered (one row), not streamed."""
+    tables are gathered (one row), not streamed. "slabs" are the mega-path
+    [L,K,N] DUPLICATES of the per-layer weights (build_decode_slabs) — the
+    default path never touches them (and the mega path reads them INSTEAD
+    of the per-layer twins), so counting them deflated the roofline by
+    +76 MB and briefly produced an impossible vs_baseline > 1 (the
+    2026-08-19 23:xx captures; fenced off via roofline_v below)."""
     if isinstance(node, dict):
         if set(node) == {"q", "s"}:
             return node["q"].size + node["s"].size * 4
@@ -244,6 +254,7 @@ def child_main() -> None:
                 "ed_fuse(snapshot)": getattr(_ed, "_ED_FUSE_DEFAULT", None),
                 "libtpu_init_args": os.environ.get("LIBTPU_INIT_ARGS"),
             },
+            "roofline_v": 2,  # slab-exclusion fix; see _quant_stream_bytes
         }
         try:
             cache = decoder.init_cache(cfg, batch, cache_len)

@@ -77,3 +77,29 @@ def test_write_stale_roundtrip(tmp_path, monkeypatch):
     # zero-valued records are never used as fallback
     bench.write_stale({"metric": "m", "value": 0.0, "unit": "u", "vs_baseline": 0.0})
     assert bench._read_stale() is None
+
+
+def test_stream_bytes_exclude_slabs_and_sig_fencing():
+    """Roofline accounting: the mega-path slab DUPLICATES must not count as
+    streamed bytes (they deflated the roofline to vs_baseline > 1 on
+    2026-08-19), and pre-fix captures must not provenance-match post-fix
+    ones in best-of-round selection."""
+    import importlib.util
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location("bench_mod", BENCH)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    pack = {"q": np.zeros((4, 8), np.int8), "s": np.zeros((8,), np.float32)}
+    params = {"lm_head_q": pack, "slabs": {"w_up": np.zeros((2, 4, 8), np.int8)}}
+    assert bench._quant_stream_bytes(params) == 4 * 8 + 8 * 4
+
+    old = {"detail": {"provenance": {"lm_head_q_shape": [1], "flags": {}}}}
+    new = {
+        "detail": {
+            "provenance": {"lm_head_q_shape": [1], "flags": {}, "roofline_v": 2}
+        }
+    }
+    assert bench._prov_sig(old) != bench._prov_sig(new)
