@@ -1044,6 +1044,147 @@ def convhops():
         )
 
 
+def w8a8probe():
+    """Is the v5e int8 MXU path (s8 x s8 -> s32, nominal 394 TOPS = 2x the
+    bf16 197 TF/s) reachable from XLA and from Mosaic? The STATUS round-5
+    decode analysis identified W8A8 as the only remaining lever past the
+    ~0.75 decode plateau (kills the in-kernel VPU int8->bf16 convert) and
+    it would roughly double prefill throughput vs the bf16-peak
+    denominator. The reference itself ships u8 x i8 GEMM kernels
+    (/root/reference/src/gemm.rs u8i8 kernels + QLinearMatMul), so W8A8 is
+    inside the capability contract. Measures, all 2048^3 scan chains:
+      bf16       — jnp.dot bf16 baseline (TF/s, the 197-peak yardstick)
+      xla_i8     — lax.dot_general s8 x s8 -> s32 straight through XLA
+      pallas_i8  — blocked Pallas matmul with in-kernel s8 dots
+      pallas_i8_bf16out — same + int32->bf16 scale epilogue (the shape a
+                   real W8A8 quant_matmul would take)
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from rten_tpu.utils.bench import marginal_step_time
+
+    n = 2048
+    rng = np.random.default_rng(0)
+    a8 = jnp.asarray(rng.integers(-127, 128, (n, n)).astype(np.int8))
+    b8 = jnp.asarray(rng.integers(-127, 128, (n, n)).astype(np.int8))
+    abf = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    bbf = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def chain_bf16(steps):
+        def body(c, _):
+            out = jnp.dot(c, bbf, preferred_element_type=jnp.float32)
+            return out.astype(jnp.bfloat16), None
+
+        return jax.lax.scan(body, abf, None, length=steps)[0]
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def chain_xla_i8(steps):
+        def body(c, _):
+            acc = jax.lax.dot_general(
+                c, b8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            # keep the carry int8 (cheap shift; the MXU dot dominates)
+            return (acc >> 16).astype(jnp.int8), None
+
+        return jax.lax.scan(body, a8, None, length=steps)[0]
+
+    def _mm_kernel(a_ref, b_ref, o_ref, acc_ref, *, nk, bf16_out):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += jax.lax.dot_general(
+            a_ref[...], b_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+        @pl.when(k == nk - 1)
+        def _():
+            if bf16_out:
+                o_ref[...] = (acc_ref[...].astype(jnp.float32) * (1.0 / 65536.0)).astype(jnp.bfloat16)
+            else:
+                o_ref[...] = (acc_ref[...] >> 16).astype(jnp.int8)
+
+    def mk_pallas(bm, bn, bk, bf16_out):
+        nk = n // bk
+        out_dtype = jnp.bfloat16 if bf16_out else jnp.int8
+        mm = pl.pallas_call(
+            functools.partial(_mm_kernel, nk=nk, bf16_out=bf16_out),
+            grid=(n // bm, n // bn, nk),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+                pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((n, n), out_dtype),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")
+            ),
+        )
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def chain(steps):
+            def body(c, _):
+                out = mm(c, b8)
+                if bf16_out:
+                    # requantize so the carry stays int8 without leaving VPU
+                    return (out * 64.0).astype(jnp.int8), None
+                return out, None
+
+            return jax.lax.scan(body, a8, None, length=steps)[0]
+
+        return chain
+
+    flops = 2 * n**3
+    variants = {"bf16": chain_bf16, "xla_i8": chain_xla_i8}
+    for lab, bm, bn, bk, b16 in (
+        ("pallas_i8-512x1024x512", 512, 1024, 512, False),
+        ("pallas_i8_bf16out-512x1024x512", 512, 1024, 512, True),
+        ("pallas_i8-1024x1024x512", 1024, 1024, 512, False),
+    ):
+        try:
+            variants[lab] = mk_pallas(bm, bn, bk, b16)
+        except Exception as e:
+            print(f"{lab}: BUILD FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
+
+    results = {lab: [] for lab in variants}
+    dead = set()
+    for rep in range(3):
+        for lab, chain in variants.items():
+            if lab in dead:
+                continue
+            try:
+                results[lab].append(marginal_step_time(chain, 32, 256, trials=4))
+            except Exception as e:
+                dead.add(lab)
+                print(f"{lab}: FAILED {type(e).__name__}: {str(e)[:160]}", flush=True)
+        print(f"rep {rep} done", flush=True)
+    for lab, ts in results.items():
+        if not ts:
+            continue
+        t = min(ts)
+        print(
+            f"{lab:32s}: {t * 1e6:6.1f} us  {flops / t / 1e12:6.1f} TOP/s "
+            f"({flops / t / 1e12 / 197:.3f} of bf16 peak)  "
+            f"reps={[round(x * 1e6, 1) for x in ts]}",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     import os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -39,20 +39,22 @@ def _sh(cmd: str) -> None:
         sys.exit(1)
 
 PHASES = [
-    ("census", 900),
+    # Priority order = evidence value: the phases VERDICT r4 flagged as
+    # never-measured run first so a mid-battery outage costs the least.
     ("headline", 1100),
-    ("prefill", 700),
     # batchedab split per flag (VERDICT r4 #3: the combined phase died at its
     # timeout twice — each flag now gets its own subprocess AND budget, with
     # a narrower-but-valid window, so one slow compile can't starve the A/B).
     ("batchedab0", 800),
     ("batchedab1", 800),
+    ("engine", 900),
+    ("specdec", 700),
+    ("whisper", 1500),
+    ("prefill", 700),
+    ("tpover", 700),
     ("argmaxab", 500),
     ("gemvgeom", 900),
-    ("whisper", 1500),
-    ("engine", 900),
-    ("tpover", 700),
-    ("specdec", 700),
+    ("census", 900),
 ]
 
 
