@@ -1149,8 +1149,32 @@ def w8a8probe():
 
         return chain
 
+    # The production W8A8 kernel (kernels/quant_matmul.py), measured the
+    # same way prefillsweep measures quant_matmul_int8: bf16 activations
+    # carried through the chain, dynamic per-row quant included in the cost.
+    from rten_tpu.kernels.quant_matmul import quant_matmul_w8a8, quantize_weights_int8
+
+    qw, qs = quantize_weights_int8(rng.standard_normal((n, n)).astype(np.float32))
+    qd, sd = jnp.asarray(qw), jnp.asarray(qs)
+
+    def mk_w8a8(**kw):
+        @functools.partial(jax.jit, static_argnums=0)
+        def chain(steps):
+            def body(c, _):
+                return quant_matmul_w8a8(c, qd, sd, **kw).astype(jnp.bfloat16), None
+
+            return jax.lax.scan(body, abf, None, length=steps)[0]
+
+        return chain
+
     flops = 2 * n**3
-    variants = {"bf16": chain_bf16, "xla_i8": chain_xla_i8}
+    variants = {
+        "bf16": chain_bf16,
+        "xla_i8": chain_xla_i8,
+        "w8a8_kernel-1024x1024x512": mk_w8a8(),
+        "w8a8_kernel-512x2048x512": mk_w8a8(block_m=512, block_n=2048),
+        "w8a8_kernel-1024x1024x1024": mk_w8a8(block_k=1024),
+    }
     for lab, bm, bn, bk, b16 in (
         ("pallas_i8-512x1024x512", 512, 1024, 512, False),
         ("pallas_i8_bf16out-512x1024x512", 512, 1024, 512, True),

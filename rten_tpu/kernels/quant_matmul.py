@@ -647,6 +647,141 @@ def quant_matmul_int8(
     return out[:m, :n]
 
 
+def _q8_kernel(
+    x_ref,   # [BM, BK] int8 (dynamically quantized activations)
+    sx_ref,  # [BM, 1] f32 per-row activation scales
+    w_ref,   # [BK, BN] int8
+    s_ref,   # [1, BN] f32 per-channel weight scales
+    b_ref,   # [1, BN] or None
+    o_ref,   # [BM, BN]
+    acc_ref,  # [BM, BN] int32
+    *,
+    activation,
+    n_k,
+):
+    """W8A8 tile: s8 × s8 → s32 on the MXU (v5e int8 path, nominal 2× the
+    bf16 rate) — no weight convert at all. Both scales apply once on the
+    f32-cast accumulator in the epilogue (per-row × per-channel factor out
+    of the K reduction exactly, same argument as the weight-only kernel)."""
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _epilogue():
+        bm, bn = acc_ref.shape
+        sx = sx_ref[...].astype(jnp.float32)  # [BM, 1]
+        chunk = 512
+        for c in range(0, bn, chunk):  # chunked like _q_epilogue (VMEM cap)
+            sl = slice(c, min(c + chunk, bn))
+            out = acc_ref[:, sl].astype(jnp.float32) * sx * s_ref[:, sl]
+            if b_ref is not None:
+                out = out + b_ref[:, sl].astype(jnp.float32)
+            o_ref[:, sl] = _ACTIVATIONS[activation](out).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "activation", "block_m", "block_n", "block_k", "out_dtype", "interpret",
+    ),
+)
+def quant_matmul_w8a8(
+    x,
+    w_q,
+    scales,
+    bias=None,
+    *,
+    activation: str | None = None,
+    block_m: int = 1024,
+    block_n: int = 1024,
+    block_k: int = 512,
+    out_dtype=None,
+    interpret: bool = False,
+):
+    """out = activation((x @ w_q) * sx * scales + bias) with x dynamically
+    quantized to symmetric per-row int8 — full W8A8: the MXU consumes int8
+    directly (s8 × s8 → s32, nominal 394 TOPS on v5e vs 197 bf16 TF/s) and
+    the weight-only kernels' in-kernel VPU int8→bf16 convert disappears.
+
+    Numerics: activations get per-row symmetric int8 (≤~0.8% RMS rounding
+    error on unit-scale rows); this is the opt-in contract the reference
+    exposes as DynamicQuantizeLinear → QLinearMatMul
+    (/root/reference/src/ops/quantize.rs:210 DynamicQuantizeLinear,
+    /root/reference/src/ops/matmul.rs MatMulInteger path), not a drop-in
+    replacement for the weight-only default.
+
+    x: [M, K] f32/bf16; w_q: [K, N] int8; scales: [N] f32; bias: [N] opt.
+    """
+    m, k = x.shape
+    k2, n = w_q.shape
+    assert k == k2, (x.shape, w_q.shape)
+    out_dtype = out_dtype or x.dtype
+
+    # Dynamic per-row quantization (XLA, fuses into one pass over x).
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    sx = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    x_q = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+
+    block_m = min(block_m, max(128, -(-m // 128) * 128))
+    block_n = pick_block(n, block_n)
+    block_k = pick_block(k, block_k)
+
+    xp = _pad_to(_pad_to(x_q, block_m, 0), block_k, 1)
+    sxp = _pad_to(sx, block_m, 0)
+    wp = _pad_to(_pad_to(w_q, block_k, 0), block_n, 1)
+    sp = _pad_to(scales.reshape(1, -1), block_n, 1)
+    mp, kp = xp.shape
+    np_ = wp.shape[1]
+    n_k = kp // block_k
+
+    in_specs = [
+        pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
+        pl.BlockSpec((block_m, 1), lambda i, j, kk: (i, 0)),
+        pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j)),
+        pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
+    ]
+    args = [xp, sxp, wp, sp]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)))
+        args.append(_pad_to(bias.reshape(1, -1), block_n, 1))
+        kernel = functools.partial(_q8_kernel, activation=activation, n_k=n_k)
+    else:
+        kernel = functools.partial(
+            lambda x_ref, sx_ref, w_ref, s_ref, o_ref, acc_ref, **kw: _q8_kernel(
+                x_ref, sx_ref, w_ref, s_ref, None, o_ref, acc_ref, **kw
+            ),
+            activation=activation,
+            n_k=n_k,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        grid=(mp // block_m, np_ // block_n, n_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ + mp * np_ * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:m, :n]
+
+
 def _norm_rows(x, kind, eps, scale_ref, bias_ref):
     if kind == "rmsnorm":
         x = x * jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + eps)

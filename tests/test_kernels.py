@@ -74,6 +74,75 @@ def test_quant_matmul_bias_act(rng):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-3)
 
 
+def test_quant_matmul_w8a8_parity(rng):
+    """W8A8 kernel vs an exact jnp reference of its own quantized semantics
+    (s8 × s8 → s32, per-row × per-channel rescale), plus fidelity vs the
+    float product at int8-activation tolerance."""
+    from rten_tpu.kernels.quant_matmul import quant_matmul_w8a8
+
+    x = rng.standard_normal((48, 320)).astype(np.float32)  # odd M/K → pads
+    w = rng.standard_normal((320, 96)).astype(np.float32)
+    w_q, s = quantize_weights_int8(w, axis=-1)
+    out = quant_matmul_w8a8(
+        x, w_q, s, block_m=128, block_n=128, block_k=128, interpret=True
+    )
+    absmax = np.abs(x).max(axis=1, keepdims=True)
+    sx = np.where(absmax == 0, 1.0, absmax / 127.0)
+    x_q = np.clip(np.round(x / sx), -127, 127).astype(np.int8)
+    ref = (
+        x_q.astype(np.int32) @ w_q.astype(np.int32)
+    ).astype(np.float32) * sx * s
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-4)
+    # int8 activations cost ~<1% RMS vs the float product
+    f = x @ (w_q.astype(np.float32) * s)
+    rms = np.sqrt(((np.asarray(out) - f) ** 2).mean()) / np.sqrt((f**2).mean())
+    assert rms < 0.02, rms
+
+
+def test_quant_matmul_w8a8_bias_act(rng):
+    from rten_tpu.kernels.quant_matmul import quant_matmul_w8a8
+
+    x = rng.standard_normal((16, 128)).astype(np.float32)
+    w = rng.standard_normal((128, 32)).astype(np.float32)
+    b = rng.standard_normal((32,)).astype(np.float32)
+    w_q, s = quantize_weights_int8(w)
+    out = quant_matmul_w8a8(
+        x, w_q, s, b, activation="gelu",
+        block_m=128, block_n=128, block_k=128, interpret=True,
+    )
+    absmax = np.abs(x).max(axis=1, keepdims=True)
+    sx = np.where(absmax == 0, 1.0, absmax / 127.0)
+    x_q = np.clip(np.round(x / sx), -127, 127).astype(np.int8)
+    h = (x_q.astype(np.int32) @ w_q.astype(np.int32)).astype(np.float32) * sx * s + b
+    ref = np.asarray(jax.nn.gelu(h, approximate=False))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-3)
+
+
+def test_quant_matmul_w8a8_multiblock_chunked_epilogue(rng):
+    """Multi-tile grid (K-accumulation across steps) + >512-lane N blocks
+    exercising the chunked epilogue; bf16 activations in, bf16 out."""
+    import jax.numpy as jnp
+
+    from rten_tpu.kernels.quant_matmul import quant_matmul_w8a8
+
+    x = rng.standard_normal((64, 512)).astype(np.float32)
+    w = rng.standard_normal((512, 1024)).astype(np.float32)
+    w_q, s = quantize_weights_int8(w, axis=-1)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    out = quant_matmul_w8a8(
+        xb, w_q, s, block_m=128, block_n=1024, block_k=256, interpret=True
+    )
+    assert out.dtype == jnp.bfloat16
+    xf = np.asarray(xb.astype(jnp.float32))
+    absmax = np.abs(xf).max(axis=1, keepdims=True)
+    sx = np.where(absmax == 0, 1.0, absmax / 127.0)
+    x_q = np.clip(np.round(xf / sx), -127, 127).astype(np.int8)
+    ref = (x_q.astype(np.int32) @ w_q.astype(np.int32)).astype(np.float32) * sx * s
+    np.testing.assert_allclose(
+        np.asarray(out.astype(jnp.float32)), ref, rtol=0.02, atol=0.3
+    )
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_flash_attention_matches_reference(causal, rng):
     b, h, sq, skv, d = 2, 3, 128, 256, 64
