@@ -468,11 +468,14 @@ def _decode_attn_kernel_batched(
     has_new = kn_ref is not None or pk_ref is not None
 
     # Per-row valid lengths (static unroll — B is small) and their max.
+    # Everything per-row stays a TRACED SCALAR compared against iotas:
+    # Mosaic cannot shape-cast a 1-D [B] lane vector into sublane dims
+    # (tpu.reshape vector<8xi32> -> vector<8x1x1x1xi32> is rejected), so no
+    # jnp.stack(lens) / [:, None, ...] anywhere in this kernel.
     lens = [kv_len_ref[bi] for bi in range(B)]
     max_len = lens[0]
     for ln in lens[1:]:
         max_len = jnp.maximum(max_len, ln)
-    lengths = jnp.stack(lens)  # [B]
     n_blocks = pl.cdiv(max_len, block_s)
 
     def dma(buf_slot, blk_idx):
@@ -520,20 +523,20 @@ def _decode_attn_kernel_batched(
             _row_copy(0, bi, k_hbm, False).start()
             _row_copy(1, bi, v_hbm, False).start()
 
-        local = jnp.stack([r - r8 for r, r8 in zip(rows_of, row8s)])  # [B]
-        sub = jax.lax.rem(lengths, f)  # [B]
-        rowi = jax.lax.broadcasted_iota(jnp.int32, (B, hk, 8, _LANES), 2)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (B, hk, 8, _LANES), 3)
-        hit = jnp.logical_and(
-            rowi == local[:, None, None, None],
-            lane // d == sub[:, None, None, None],
-        )
+        rowi3 = jax.lax.broadcasted_iota(jnp.int32, (hk, 8, _LANES), 1)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (hk, 8, _LANES), 2)
 
         def _merge(which):
-            old = row_buf[which]  # [B, Hk, 8, 128]
             new = _new_tok(which)  # [B, Hk, 1, D]
-            tiled = jnp.concatenate([new] * f, axis=-1) if f > 1 else new
-            row_buf[which] = jnp.where(hit, tiled.astype(old.dtype), old)
+            for bi in range(B):  # per-row scalar-vs-iota hit masks
+                hit3 = jnp.logical_and(
+                    rowi3 == rows_of[bi] - row8s[bi],
+                    lane3 // d == jax.lax.rem(lens[bi], f),
+                )
+                old = row_buf[which, bi]  # [Hk, 8, 128]
+                nb = new[bi]  # [Hk, 1, D]
+                tiled = jnp.concatenate([nb] * f, axis=-1) if f > 1 else nb
+                row_buf[which, bi] = jnp.where(hit3, tiled.astype(old.dtype), old)
 
         for bi in range(B):
             _row_copy(0, bi, k_hbm, False).wait()
@@ -547,7 +550,17 @@ def _decode_attn_kernel_batched(
 
     q4 = (pk_ref[:, 0] if pk_ref is not None else q_ref[...])[:, :, :, :d]
     q = q4.reshape(bh, gp, d).astype(jnp.float32)  # [BH, Gp, D]
-    lengths_bh = jnp.broadcast_to(lengths[:, None], (B, hk)).reshape(bh)
+    # Loop-invariant per-(batch·head) length map, [BH, 1, rpb]: built by
+    # scalar selects over a bh-iota (B statically unrolled) — never via a
+    # 1-D [B] vector reshape, which Mosaic rejects. Broadcasts over Gp in
+    # the mask compare below.
+    bh_row = jax.lax.broadcasted_iota(jnp.int32, (bh, 1, rows_per_block), 0) // hk
+    len_map = jnp.zeros((bh, 1, rows_per_block), jnp.int32)
+    for bi, ln in enumerate(lens):
+        len_map = jnp.where(bh_row == bi, ln, len_map)
+    row_tok = (
+        jax.lax.broadcasted_iota(jnp.int32, (bh, 1, rows_per_block), 2) * f
+    )
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -565,9 +578,6 @@ def _decode_attn_kernel_batched(
         k = k_buf[slot].reshape(bh, rows_per_block, _LANES).astype(jnp.float32)
 
         base = i * block_s
-        row_tok = (
-            jax.lax.broadcasted_iota(jnp.int32, (bh, gp, rows_per_block), 2) * f
-        )
         s_parts = []
         for j in range(f):
             kj = k[:, :, j * d : (j + 1) * d]  # [BH, rpb, D]
@@ -580,7 +590,7 @@ def _decode_attn_kernel_batched(
             if sm_scale != 1.0:
                 s = s * sm_scale
             s = jnp.where(
-                base + row_tok + j < lengths_bh[:, None, None],
+                base + row_tok + j < len_map,
                 s,
                 DEFAULT_MASK_VALUE,
             )
@@ -1431,11 +1441,12 @@ def _decode_attn_int8_kernel_batched(
     gp = q_ref.shape[2]
     bh = B * hk
 
+    # Traced scalars only (see _decode_attn_kernel_batched: Mosaic rejects
+    # 1-D [B] vector reshapes into sublane dims).
     lens = [kv_len_ref[bi] for bi in range(B)]
     max_len = lens[0]
     for ln in lens[1:]:
         max_len = jnp.maximum(max_len, ln)
-    lengths = jnp.stack(lens)  # [B]
     n_blocks = pl.cdiv(max_len, block_s)
 
     def dma(buf_slot, blk_idx):
@@ -1484,20 +1495,20 @@ def _decode_attn_int8_kernel_batched(
             _row_copy(0, bi, k_hbm, False).start()
             _row_copy(1, bi, v_hbm, False).start()
 
-        local = jnp.stack([r - r32 for r, r32 in zip(rows_of, row32s)])
-        sub = jax.lax.rem(lengths, f)
-        rowi = jax.lax.broadcasted_iota(jnp.int32, (B, hk, 32, _LANES), 2)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (B, hk, 32, _LANES), 3)
-        hit = jnp.logical_and(
-            rowi == local[:, None, None, None],
-            lane // d == sub[:, None, None, None],
-        )
+        rowi3 = jax.lax.broadcasted_iota(jnp.int32, (hk, 32, _LANES), 1)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (hk, 32, _LANES), 2)
 
         def _merge(which, src_new_ref):
-            old = row_buf[which]  # [B, Hk, 32, 128]
             new = src_new_ref[:, :, 0:1, :d]  # [B, Hk, 1, D]
-            tiled = jnp.concatenate([new] * f, axis=-1) if f > 1 else new
-            row_buf[which] = jnp.where(hit, tiled.astype(old.dtype), old)
+            for bi in range(B):  # per-row scalar-vs-iota hit masks
+                hit3 = jnp.logical_and(
+                    rowi3 == rows_of[bi] - row32s[bi],
+                    lane3 // d == jax.lax.rem(lens[bi], f),
+                )
+                old = row_buf[which, bi]  # [Hk, 32, 128]
+                nb = new[bi]  # [Hk, 1, D]
+                tiled = jnp.concatenate([nb] * f, axis=-1) if f > 1 else nb
+                row_buf[which, bi] = jnp.where(hit3, tiled.astype(old.dtype), old)
 
         for bi in range(B):
             _row_copy(0, bi, k_hbm, False).wait()
@@ -1510,7 +1521,15 @@ def _decode_attn_int8_kernel_batched(
             _row_copy(1, bi, v_hbm, True).start()
 
     q = q_ref[...][:, :, :, :d].reshape(bh, gp, d).astype(jnp.float32)
-    lengths_bh = jnp.broadcast_to(lengths[:, None], (B, hk)).reshape(bh)
+    # Loop-invariant [BH, 1, rpb] length map via scalar selects (no 1-D
+    # vector reshapes — see _decode_attn_kernel_batched).
+    bh_row = jax.lax.broadcasted_iota(jnp.int32, (bh, 1, rows_per_block), 0) // hk
+    len_map = jnp.zeros((bh, 1, rows_per_block), jnp.int32)
+    for bi, ln in enumerate(lens):
+        len_map = jnp.where(bh_row == bi, ln, len_map)
+    row_tok = (
+        jax.lax.broadcasted_iota(jnp.int32, (bh, 1, rows_per_block), 2) * f
+    )
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -1529,9 +1548,6 @@ def _decode_attn_int8_kernel_batched(
         k_scales = s_buf[slot, 0].reshape(bh, 8, rows_per_block)
 
         base = i * block_s
-        row_tok = (
-            jax.lax.broadcasted_iota(jnp.int32, (bh, gp, rows_per_block), 2) * f
-        )
         s_parts = []
         for j in range(f):
             kj = k[:, :, j * d : (j + 1) * d]
@@ -1541,7 +1557,7 @@ def _decode_attn_int8_kernel_batched(
             )  # [BH, Gp, rpb]
             s = s * k_scales[:, j : j + 1, :] * sm_scale
             s = jnp.where(
-                base + row_tok + j < lengths_bh[:, None, None],
+                base + row_tok + j < len_map,
                 s,
                 DEFAULT_MASK_VALUE,
             )
