@@ -362,6 +362,37 @@ def child_main() -> None:
     tflops = 2 * n**3 / min(plausible) / 1e12 if plausible else float("nan")
     tflops_ok = tflops == tflops  # not NaN
 
+    # Secondary: the W8A8 prefill kernel (s8 × s8 on the v5e int8 MXU path,
+    # nominal 394 TOPS — quant_matmul_w8a8; the reference's
+    # DynamicQuantizeLinear→QLinearMatMul contract). w8a8probe measured
+    # 275 TOPS = 1.40× the 197 TF/s bf16 peak the dequant metric is judged
+    # against; the denominator here stays the bf16 MXU_TFLOPS so the two
+    # ratios are directly comparable.
+    w8a8_tflops = float("nan")
+    if time.perf_counter() < prefill_deadline:
+        from rten_tpu.kernels.quant_matmul import quant_matmul_w8a8
+
+        @functools.partial(jax.jit, static_argnames=("steps",))
+        def mm_chain_w8a8(steps):
+            def body(c, _):
+                return quant_matmul_w8a8(c, qd, sd).astype(jnp.bfloat16), None
+
+            return jax.lax.scan(body, a0, None, length=steps)[0]
+
+        try:
+            w8a8_steps = [
+                marginal_step_time(lambda s: mm_chain_w8a8(steps=s), 64, 512, trials=3)
+                for _ in range(2)
+                if time.perf_counter() < prefill_deadline + 0.1 * budget_s
+            ]
+            # int8 MXU peak is 2× bf16 — same physical-plausibility floor.
+            w8a8_ok = [s for s in w8a8_steps if s >= 0.45 * mxu_peak_step]
+            if w8a8_ok:
+                w8a8_tflops = 2 * n**3 / min(w8a8_ok) / 1e12
+        except Exception:
+            pass
+    w8a8_tflops_ok = w8a8_tflops == w8a8_tflops
+
     ed_ok = False
     print(
         json.dumps(
@@ -391,6 +422,10 @@ def child_main() -> None:
                     "weight_mbytes": round(weight_bytes / 1e6, 1),
                     "prefill_dequant_matmul_tflops": round(tflops, 1) if tflops_ok else None,
                     "prefill_vs_mxu_peak": round(tflops / MXU_TFLOPS, 4) if tflops_ok else None,
+                    "prefill_w8a8_tflops": round(w8a8_tflops, 1) if w8a8_tflops_ok else None,
+                    "prefill_w8a8_vs_mxu_peak": round(w8a8_tflops / MXU_TFLOPS, 4)
+                    if w8a8_tflops_ok
+                    else None,
                     "provenance": provenance,
                     "backend": jax.default_backend(),
                 },

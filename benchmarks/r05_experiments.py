@@ -1209,6 +1209,67 @@ def w8a8probe():
         )
 
 
+def w8a8decode():
+    """THE follow-up to w8a8probe (which measured the int8 MXU path at
+    275-336 TOPS = 1.4-1.7x bf16 peak): does routing the decode-step fused
+    kernels (GEMV stripes, whole-MLP+next-qkv, fused-argmax lm_head)
+    through s8 x s8 MXU dots (RTEN_W_CONVERT=w8a8) beat the weight-only
+    convert path on the bench-exact generate_scan? The r05 XPlane trace
+    showed the staged decode kernels are bound by the VPU int8->bf16
+    weight convert (STATUS round-5 analysis: 4.0-7.1 us/layer MLP, 34.4 us
+    in-loop lm_head, ~6.8M and 38.6M converted weights respectively);
+    w8a8 deletes that convert entirely. ABAB fresh subprocesses so chip
+    weather hits both arms equally. Numerics contract: dynamic per-row
+    int8 activations (the reference's DynamicQuantizeLinear ->
+    QLinearMatMul semantics, /root/reference/src/ops/quantize.rs)."""
+    import os
+    import subprocess
+
+    child = r"""
+import os, sys
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp, numpy as np
+from rten_tpu.models import decoder
+from rten_tpu.utils.bench import marginal_step_time
+
+cfg = decoder.DecoderConfig(dtype=jnp.bfloat16, max_seq=1024)
+qp = jax.device_put(
+    decoder.quantize_params_int8(decoder.init_params(jax.random.PRNGKey(0), cfg))
+)
+qp = {k: v for k, v in qp.items() if k != "slabs"}
+rng = np.random.default_rng(0)
+prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 64)).astype(np.int32))
+
+def run(steps):
+    cache = decoder.init_cache(cfg, 1, 768)
+    logits, cache = decoder.prefill(qp, cfg, prompt, cache)
+    first = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+    toks, _ = decoder.generate_scan(
+        qp, cfg, cache, first, jax.random.PRNGKey(1), n_steps=steps
+    )
+    return toks
+
+t = min(marginal_step_time(run, 64, 512, trials=4) for _ in range(2))
+print(f"RESULT {t * 1e6:.1f} us/step ({1 / t:.0f} tok/s)", flush=True)
+"""
+    for rep in range(2):
+        for lab in ("direct", "w8a8"):
+            env = dict(os.environ)
+            env["RTEN_W_CONVERT"] = lab
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-c", child],
+                    capture_output=True, text=True, timeout=900, env=env,
+                )
+                line = next(
+                    (l for l in proc.stdout.splitlines() if l.startswith("RESULT")),
+                    f"rc={proc.returncode} {proc.stderr[-300:]}",
+                )
+            except subprocess.TimeoutExpired:
+                line = "TIMEOUT"
+            print(f"rep{rep} {lab:7s}: {line}", flush=True)
+
+
 if __name__ == "__main__":
     import os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1180,6 +1180,11 @@ def decode_attention(
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) if batched else ("parallel",),
+            # Batched mode carries [2, B, Hk, rpb, 128] double buffers + the
+            # per-row RMW window; Mosaic's default scoped-vmem limit is
+            # 16 MB and the shrink loop budgets 24 MB (BATTERY_r05
+            # batchedab1 died on exactly this: 19.25M > 16M stack OOM).
+            **({"vmem_limit_bytes": 100 << 20} if batched else {}),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s_max * d,
@@ -1857,6 +1862,9 @@ def decode_attention_int8(
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) if batched else ("parallel",),
+            # See the bf16 twin: batched double buffers exceed Mosaic's
+            # default 16 MB scoped-vmem stack limit.
+            **({"vmem_limit_bytes": 100 << 20} if batched else {}),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s_max * d,

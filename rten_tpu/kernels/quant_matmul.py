@@ -121,6 +121,41 @@ def _wconv(w_blk, dot_dtype, mode):
     return w_blk.astype(dot_dtype)
 
 
+def _act_quantize(x):
+    """Per-row symmetric int8 quantization of an f32 activation block.
+
+    Returns (q, sx): q f32-valued integers in [-127, 127] (f32 so it can
+    live in the kernels' existing f32 scratch; a free .astype(int8) at the
+    dot feeds the MXU), sx [M, 1] f32 with x ≈ q * sx. Mirrors the
+    reference's DynamicQuantizeLinear semantics
+    (/root/reference/src/ops/quantize.rs DynamicQuantizeLinear), symmetric
+    variant."""
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    sx = jnp.where(absmax == 0.0, 1.0, absmax / 127.0)
+    q = jnp.clip(jnp.round(x / sx), -127.0, 127.0)
+    return q, sx
+
+
+def _qdot(x, w_blk, dd, mode):
+    """One fused-kernel matmul hop: f32 activations × int8 weight block.
+
+    mode "w8a8": dynamic per-row int8 activations, s8 × s8 → s32 on the
+    v5e int8 MXU path (measured 275-336 TOPS vs 197 bf16 TF/s, w8a8probe)
+    — the VPU weight convert that bounds the staged decode kernels
+    disappears entirely. Returns f32 ≈ x @ w_blk (activation scales folded
+    back in). Other modes: the weight-only convert-then-bf16-dot path."""
+    if mode == "w8a8":
+        q, sx = _act_quantize(x)
+        acc = jax.lax.dot_general(
+            q.astype(jnp.int8), w_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * sx
+    return jnp.dot(
+        x.astype(dd), _wconv(w_blk, dd, mode), preferred_element_type=jnp.float32
+    )
+
+
 def _gemv_epilogue(
     out, j, b_ref, r_ref, o_ref, amax_scr, aarg_scr, *, activation, argmax_n
 ):
@@ -181,21 +216,30 @@ def _gemv_kernel(
     norm_eps,
     argmax_n=None,
     w_convert="direct",
+    sx_scr=None,  # [M, 128] f32 — per-row activation scales (w8a8 mode)
 ):
     # Whole-K tile: no accumulator loop. The int8→f32 conversion feeds the
     # MXU directly; at M=8 the matmul is trivially cheap and the kernel is
     # bound by the int8 weight stream from HBM.
-    if norm is not None:
-        # Fused pre-norm: the cross-lane row statistics are computed ONCE on
+    w8a8 = w_convert == "w8a8"
+    if norm is not None or w8a8:
+        # Fused pre-norm (and, in w8a8 mode, the dynamic per-row activation
+        # quantization): the cross-lane row statistics are computed ONCE on
         # the first N-stripe and cached in VMEM scratch (lane reductions are
         # the slow VPU direction — recomputing per stripe serializes with the
         # weight stream). Saves an entire XLA kernel + HBM round trip of the
         # normalized activations. Requires sequential grid ("arbitrary").
         @pl.when(pl.program_id(0) == 0)
         def _compute_norm():
-            xn_scr[...] = _normalize_rows(
-                x_ref[...].astype(jnp.float32), norm, norm_eps, ns_ref, nb_ref
-            )
+            x0 = x_ref[...].astype(jnp.float32)
+            if norm is not None:
+                x0 = _normalize_rows(x0, norm, norm_eps, ns_ref, nb_ref)
+            if w8a8:
+                q, sx = _act_quantize(x0)
+                xn_scr[...] = q
+                sx_scr[...] = jnp.broadcast_to(sx, sx_scr.shape)
+            else:
+                xn_scr[...] = x0
 
         x = xn_scr[...]
     else:
@@ -207,8 +251,17 @@ def _gemv_kernel(
     # on wide stripes.
     dot_dtype = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
     w_blk = w_ref[0] if w_ref.ndim == 3 else w_ref[...]
-    w = _wconv(w_blk, dot_dtype, w_convert)
-    acc = jnp.dot(x.astype(dot_dtype), w, preferred_element_type=jnp.float32)
+    if w8a8:
+        # s8 × s8 → s32 on the int8 MXU path: no weight convert at all (the
+        # cached activation row converts int8 once per stripe — [M, K],
+        # ~1000× fewer elements than the weight tile it replaces).
+        acc = jax.lax.dot_general(
+            x.astype(jnp.int8), w_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * sx_scr[:, 0:1]
+    else:
+        w = _wconv(w_blk, dot_dtype, w_convert)
+        acc = jnp.dot(x.astype(dot_dtype), w, preferred_element_type=jnp.float32)
     out = acc * s_ref[...]
     _gemv_epilogue(
         out, pl.program_id(0), b_ref, r_ref, o_ref, amax_scr, aarg_scr,
@@ -340,7 +393,11 @@ def quant_gemv_int8(
 
     # K-blocking: [block_k, block_n] weight tiles when block_k divides K
     # (shorter, wider DMA stripes run closer to the HBM ceiling — see
-    # _gemv_kernel_kblocked). Whole-K otherwise.
+    # _gemv_kernel_kblocked). Whole-K otherwise. The w8a8 path is whole-K
+    # only (gemvgeom measured whole-K fastest anyway; the K-blocked int32
+    # accumulation would also need its own scratch story).
+    if w_convert == "w8a8":
+        block_k = None
     kb = block_k if (block_k and k % block_k == 0 and k > block_k) else None
     n_k = (k // kb) if kb else 1
     if kb:
@@ -396,7 +453,13 @@ def quant_gemv_int8(
 
     n_opt = len(order)
 
+    w8a8 = w_convert == "w8a8"
+
     def kernel(x_ref, w_ref, s_ref, *rest):
+        if w8a8:  # sx scratch rides at the end of the scratch list
+            rest, sx_scr = rest[:-1], rest[-1]
+        else:
+            sx_scr = None
         opt = dict(zip(order, rest[:n_opt]))
         named = (
             opt.get("b_ref"), opt.get("ns_ref"), opt.get("nb_ref"),
@@ -412,7 +475,7 @@ def quant_gemv_int8(
             _gemv_kernel(
                 x_ref, w_ref, s_ref, *named, *rest[n_opt:],
                 activation=activation, norm=norm, norm_eps=norm_eps,
-                argmax_n=argmax_n, w_convert=w_convert,
+                argmax_n=argmax_n, w_convert=w_convert, sx_scr=sx_scr,
             )
 
     xn_shape = (n_k, mp, kb) if kb else (mp, k)
@@ -433,6 +496,8 @@ def quant_gemv_int8(
         scratch = [pltpu.VMEM(xn_shape, jnp.float32)]
         if kb:
             scratch.append(pltpu.VMEM((mp, bn), jnp.float32))
+    if w8a8:
+        scratch.append(pltpu.VMEM((mp, 128), jnp.float32))
 
     out = pl.pallas_call(
         kernel,
@@ -827,17 +892,15 @@ def _mlp_kernel(
     # so f32's 6×-slower MXU rate is fully exposed (~2 µs/layer on
     # GPT-2-small). Scale/bias/activation math stays f32.
     dd = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
-    up = jnp.dot(
-        x.astype(dd), _wconv(wu_ref[...], dd, w_convert),
-        preferred_element_type=jnp.float32,
-    ) * su_ref[...]
+    # w_convert="w8a8" routes every hop through _qdot's s8 × s8 MXU dots
+    # (per-row dynamic activation quant; the FF-wide intermediate re-
+    # quantizes per row) — the whole-matrix VPU converts this kernel is
+    # bound by once MSA has staged its weights (r05 XPlane) drop out.
+    up = _qdot(x, wu_ref[...], dd, w_convert) * su_ref[...]
     if bu_ref is not None:
         up = up + bu_ref[...].astype(jnp.float32)
     up = _ACTIVATIONS[activation](up)
-    down = jnp.dot(
-        up.astype(dd), _wconv(wd_ref[...], dd, w_convert),
-        preferred_element_type=jnp.float32,
-    ) * sd_ref[...]
+    down = _qdot(up, wd_ref[...], dd, w_convert) * sd_ref[...]
     if bd_ref is not None:
         down = down + bd_ref[...].astype(jnp.float32)
     if r_ref is not None:
@@ -849,10 +912,7 @@ def _mlp_kernel(
         # qkv is computed, and a whole kernel launch + weight-staging round
         # drops out of the per-layer decode path.
         xq = _norm_rows(down, norm, norm_eps, qns_ref, qnb_ref)
-        qkv = jnp.dot(
-            xq.astype(dd), _wconv(wq_ref[...], dd, w_convert),
-            preferred_element_type=jnp.float32,
-        ) * sq_ref[...]
+        qkv = _qdot(xq, wq_ref[...], dd, w_convert) * sq_ref[...]
         if bq_ref is not None:
             qkv = qkv + bq_ref[...].astype(jnp.float32)
         oq_ref[...] = qkv.astype(oq_ref.dtype)

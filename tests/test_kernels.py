@@ -1066,3 +1066,99 @@ def test_quant_matmul_w_convert_direct_parity(rng):
         x, jnp.asarray(qw), jnp.asarray(qs), interpret=True, w_convert="direct"
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def _w8a8_ref_dot(v, w_q, s):
+    """Exact reference for the kernels' w8a8 hop: per-row symmetric dynamic
+    int8 activations, s8 × s8 → s32, per-row × per-channel rescale."""
+    absmax = np.abs(v).max(axis=-1, keepdims=True)
+    sx = np.where(absmax == 0, 1.0, absmax / 127.0)
+    q = np.clip(np.round(v / sx), -127, 127)
+    return (q.astype(np.int32) @ w_q.astype(np.int32)).astype(np.float32) * sx * s
+
+
+def test_quant_gemv_w8a8_parity(rng):
+    """Decode GEMV in w8a8 mode (s8 × s8 MXU dots, dynamic per-row
+    activation quant cached across N stripes) vs the exact quantized
+    reference — fused norm prologue and bias/act epilogue included."""
+    from rten_tpu.kernels.quant_matmul import quant_gemv_int8, quantize_weights_int8
+
+    k, n = 128, 384
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    q, s = quantize_weights_int8(w)
+    x = rng.standard_normal((2, k)).astype(np.float32)
+    bias = rng.standard_normal(n).astype(np.float32) * 0.1
+    ns = rng.uniform(0.5, 1.5, k).astype(np.float32)
+    nb = 0.1 * rng.standard_normal(k).astype(np.float32)
+
+    out = quant_gemv_int8(
+        jnp.asarray(x), jnp.asarray(q), jnp.asarray(s), jnp.asarray(bias),
+        norm="layernorm", norm_scale=jnp.asarray(ns), norm_bias=jnp.asarray(nb),
+        activation="relu", block_n=128, w_convert="w8a8", interpret=True,
+    )
+    xn = (x - x.mean(-1, keepdims=True)) / np.sqrt(x.var(-1, keepdims=True) + 1e-5)
+    xn = xn * ns + nb
+    ref = np.maximum(_w8a8_ref_dot(xn, q, s) + bias, 0.0)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=1e-4, atol=1e-4)
+    # ...and the int8-activation error vs the weight-only product is small
+    f = np.maximum(xn @ (q.astype(np.float32) * s) + bias, 0.0)
+    rms = np.sqrt(((np.asarray(out, np.float32) - f) ** 2).mean())
+    assert rms < 0.05 * np.sqrt((f**2).mean()) + 1e-3, rms
+
+
+def test_quant_gemv_w8a8_tiled_argmax(rng):
+    """w8a8 through the lm_head configuration: contiguous-tiled [S, K, bn]
+    weights + the fused greedy-argmax epilogue."""
+    from rten_tpu.kernels.quant_matmul import (
+        quant_gemv_int8, quantize_weights_int8, tile_gemv_weights)
+
+    k, n, vocab = 128, 512, 300
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    q, s = quantize_weights_int8(w)
+    x = rng.standard_normal((1, k)).astype(np.float32)
+    wt = tile_gemv_weights(jnp.asarray(q), 128)
+    out = quant_gemv_int8(
+        x, wt, s, argmax_n=vocab, w_convert="w8a8", interpret=True
+    )
+    ref = _w8a8_ref_dot(x, q, s)[:, :vocab].argmax(-1)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_quant_mlp_w8a8_parity(rng):
+    """Whole-MLP kernel in w8a8 mode: every hop (up, down, next-layer qkv)
+    re-quantizes its f32 activations per row and runs s8 dots; exact vs the
+    quantized-domain reference."""
+    from rten_tpu.kernels.quant_matmul import quant_mlp_int8, quantize_weights_int8
+
+    d, ff, nq = 128, 256, 384
+    qu, su = quantize_weights_int8(rng.standard_normal((d, ff)).astype(np.float32) * 0.2)
+    qd_, sd_ = quantize_weights_int8(rng.standard_normal((ff, d)).astype(np.float32) * 0.2)
+    qq, sq = quantize_weights_int8(rng.standard_normal((d, nq)).astype(np.float32) * 0.2)
+    ns = rng.uniform(0.5, 1.5, d).astype(np.float32)
+    nb = rng.standard_normal(d).astype(np.float32) * 0.1
+    qns = rng.uniform(0.5, 1.5, d).astype(np.float32)
+    qnb = rng.standard_normal(d).astype(np.float32) * 0.1
+    x = rng.standard_normal((1, d)).astype(np.float32)
+    resid = rng.standard_normal((1, d)).astype(np.float32)
+
+    out, qkv = quant_mlp_int8(
+        jnp.asarray(x), jnp.asarray(qu), jnp.asarray(su),
+        jnp.asarray(qd_), jnp.asarray(sd_),
+        activation="relu", norm="layernorm",
+        norm_scale=jnp.asarray(ns), norm_bias=jnp.asarray(nb),
+        residual=jnp.asarray(resid),
+        next_qkv=(jnp.asarray(qq), jnp.asarray(sq), None,
+                  jnp.asarray(qns), jnp.asarray(qnb)),
+        w_convert="w8a8", interpret=True,
+    )
+
+    def ln(v, sc, b):
+        mu, var = v.mean(-1, keepdims=True), v.var(-1, keepdims=True)
+        return (v - mu) / np.sqrt(var + 1e-5) * sc + b
+
+    xn = ln(x, ns, nb)
+    up = np.maximum(_w8a8_ref_dot(xn, qu, su), 0.0)
+    ref_out = _w8a8_ref_dot(up, qd_, sd_) + resid
+    ref_qkv = _w8a8_ref_dot(ln(ref_out, qns, qnb), qq, sq)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref_out, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(qkv, np.float32), ref_qkv, rtol=1e-3, atol=2e-3)
