@@ -48,7 +48,7 @@ PHASES = [
     ("batchedab0", 800),
     ("batchedab1", 800),
     ("engine", 900),
-    ("specdec", 700),
+    ("specdec", 1100),
     ("whisper", 1500),
     ("prefill", 700),
     ("tpover", 700),
@@ -373,12 +373,15 @@ def specdec():
     from rten_tpu.models import decoder
     from rten_tpu.utils.bench import marginal_step_time
 
-    cfg_t = decoder.DecoderConfig(dtype=jnp.bfloat16, max_seq=2048)
+    # max_seq 1024 (was 2048): the 2048-cache speculative_scan compile alone
+    # ate the phase budget twice (BATTERY_r04/r05 specdec rc=timeout);
+    # acceptance measurement needs prompt+96*5 << 1024 positions.
+    cfg_t = decoder.DecoderConfig(dtype=jnp.bfloat16, max_seq=1024)
     params_t = decoder.quantize_params_int8(
         decoder.init_params(jax.random.PRNGKey(0), cfg_t)
     )
     cfg_d = decoder.DecoderConfig(
-        n_layers=2, dtype=jnp.bfloat16, max_seq=2048
+        n_layers=2, dtype=jnp.bfloat16, max_seq=1024
     )
     # Truncated self-draft: share the target's quantized leaves directly
     # (same pytree schema — layers is just a shorter list).
@@ -390,20 +393,20 @@ def specdec():
 
     # plain greedy baseline
     def plain(steps):
-        cache = decoder.init_cache(cfg_t, 1, 2048)
+        cache = decoder.init_cache(cfg_t, 1, 1024)
         _, cache = decoder.prefill(params_t, cfg_t, prompt, cache)
         toks, _ = decoder.generate_scan(
             params_t, cfg_t, cache, prompt[:, -1:], jax.random.PRNGKey(2),
             n_steps=steps,
         )
         return toks
-    t_plain = min(marginal_step_time(plain, 64, 384, trials=5) for _ in range(2))
+    t_plain = marginal_step_time(plain, 64, 384, trials=3)
     print(f"plain greedy: {t_plain*1e6:.1f} us/token ({1/t_plain:.0f} tok/s)")
 
     k = 4
     def spec(rounds):
-        cache_t = decoder.init_cache(cfg_t, 1, 2048)
-        cache_d = decoder.init_cache(cfg_d, 1, 2048)
+        cache_t = decoder.init_cache(cfg_t, 1, 1024)
+        cache_d = decoder.init_cache(cfg_d, 1, 1024)
         lg, cache_t = decoder.prefill(params_t, cfg_t, prompt, cache_t)
         _, cache_d = decoder.prefill(params_d, cfg_d, prompt, cache_d)
         last = jnp.argmax(lg[:, -1:, :], -1).astype(jnp.int32)
@@ -414,7 +417,7 @@ def specdec():
         return counts
 
     # marginal time per ROUND, then tokens/round from a measured run
-    t_round = min(marginal_step_time(spec, 16, 96, trials=5) for _ in range(2))
+    t_round = marginal_step_time(spec, 16, 96, trials=3)
     counts = np.asarray(jax.block_until_ready(spec(96)))
     toks_per_round = float(counts.mean())
     tok_s = toks_per_round / t_round

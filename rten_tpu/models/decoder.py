@@ -505,6 +505,7 @@ def _proj(x, w, b=None, out_dim: int | None = None, activation: str | None = Non
     padding back off). On the int8 TPU path, bias and activation fuse into
     the Pallas kernel epilogue."""
     if isinstance(w, dict):
+        from rten_tpu.kernels import quant_matmul as qm
         from rten_tpu.kernels.quant_matmul import gemv_weight_kn, quant_matmul_int8
 
         shape = x.shape[:-1]
@@ -515,8 +516,20 @@ def _proj(x, w, b=None, out_dim: int | None = None, activation: str | None = Non
             x2 = jnp.pad(x2, ((0, 0), (0, pad_k)))
         unpadded = out_dim is None or out_dim == n_kernel
         epilogue_fused = dispatch.on_tpu() and unpadded
-        if epilogue_fused:
+        # RTEN_W_CONVERT=w8a8 flips the whole quantized model onto the
+        # s8 × s8 int8-MXU contract (dynamic per-row activations — the
+        # reference's DynamicQuantizeLinear→QLinearMatMul semantics):
+        # decode via the GEMV/MLP kernels' w_convert default, prefill here.
+        # Measured 275 vs 175 TF/s (w8a8probe vs the dequant kernel).
+        # Tiled [S, K, bn] packs keep the dequant path (the w8a8 matmul is
+        # 2-D row-major; tiling exists for the decode DMA stream).
+        w8a8 = qm._W_CONVERT_DEFAULT == "w8a8" and w["q"].ndim == 2
+        if epilogue_fused and w8a8:
+            out = qm.quant_matmul_w8a8(x2, w["q"], w["s"], b, activation=activation)
+        elif epilogue_fused:
             out = quant_matmul_int8(x2, w["q"], w["s"], b, activation=activation)
+        elif w8a8 and dispatch.on_tpu():
+            out = qm.quant_matmul_w8a8(x2, w["q"], w["s"])
         elif dispatch.on_tpu():
             out = quant_matmul_int8(x2, w["q"], w["s"])
         else:
